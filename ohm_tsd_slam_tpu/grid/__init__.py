@@ -1,0 +1,20 @@
+from ohm_tsd_slam_tpu.grid.state import TsdGrid, create, free_footprint
+from ohm_tsd_slam_tpu.grid.interpolate import (
+    interpolate_bilinear,
+    interpolate_normal,
+)
+from ohm_tsd_slam_tpu.grid.push import push, push_jit
+from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, raycast, raycast_jit
+
+__all__ = [
+    "TsdGrid",
+    "create",
+    "free_footprint",
+    "interpolate_bilinear",
+    "interpolate_normal",
+    "push",
+    "push_jit",
+    "RaycastResult",
+    "raycast",
+    "raycast_jit",
+]

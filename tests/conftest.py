@@ -1,0 +1,31 @@
+"""Test configuration: force CPU with a virtual 8-device mesh so sharding
+tests run anywhere, and enable x64 so kernels can be validated in double
+precision against the float64 NumPy oracle."""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+
+# Drop any non-CPU PJRT plugin factories (e.g. the axon TPU tunnel this
+# image registers via sitecustomize): tests must never claim the real
+# chip, and a busy chip would hang backend initialization.
+try:  # pragma: no cover - environment-specific
+    from jax._src import xla_bridge
+
+    for _name in list(xla_bridge._backend_factories):
+        if _name != "cpu":
+            xla_bridge._backend_factories.pop(_name, None)
+except Exception:
+    pass
+
+sys.path.insert(0, os.path.dirname(__file__))
