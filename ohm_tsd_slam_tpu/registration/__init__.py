@@ -1,0 +1,23 @@
+from ohm_tsd_slam_tpu.registration.icp import (
+    IcpParams,
+    IcpResult,
+    IcpState,
+    icp,
+    icp_jit,
+)
+from ohm_tsd_slam_tpu.registration.estimators import (
+    closed_form_2d,
+    point_to_line_2d,
+)
+from ohm_tsd_slam_tpu.registration.nn import nearest_neighbors
+
+__all__ = [
+    "IcpParams",
+    "IcpResult",
+    "IcpState",
+    "icp",
+    "icp_jit",
+    "closed_form_2d",
+    "point_to_line_2d",
+    "nearest_neighbors",
+]

@@ -1,0 +1,110 @@
+"""Pre/post assignment filters as pure mask transforms.
+
+Replicates the reference's filter chain (src/obvision/registration/icp/
+assign/filter/*) in masked fixed-shape form: a "pair set" here is the
+triple (model_idx[S], dist2[S], pair_mask[S]) aligned to scene points,
+instead of growing std::vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ohm_tsd_slam_tpu.core import se2
+
+
+# ---------------------------------------------------------------------------
+# Pre-filters (mask scene points before NN search)
+# ---------------------------------------------------------------------------
+
+def out_of_bounds_filter_2d(scene: jnp.ndarray, mask: jnp.ndarray,
+                            pose: jnp.ndarray,
+                            x_min: float, x_max: float,
+                            y_min: float, y_max: float) -> jnp.ndarray:
+    """OutOfBoundsFilter2D (OutOfBoundsFilter2D.cpp:27-37): drop scene
+    points that, transformed by the sensor pose, fall outside the grid
+    AABB."""
+    w = se2.transform_points(pose, scene)
+    inside = ((w[:, 0] >= x_min) & (w[:, 0] <= x_max)
+              & (w[:, 1] >= y_min) & (w[:, 1] <= y_max))
+    return mask & inside
+
+
+def robot_footprint_filter(scene: jnp.ndarray, mask: jnp.ndarray,
+                           center: jnp.ndarray,
+                           radius: float) -> jnp.ndarray:
+    """RobotFootprintFilter (RobotFootprintFilter.cpp:41-61): mask points
+    within `radius` of the robot center (self-observations)."""
+    d2 = jnp.sum((scene - center) ** 2, axis=1)
+    return mask & (d2 > radius * radius)
+
+
+# ---------------------------------------------------------------------------
+# Post-filters (prune pairs after NN search)
+# ---------------------------------------------------------------------------
+
+def distance_threshold_schedule(max_dist: float, min_dist: float,
+                                iterations: int):
+    """The shrinking squared-distance gate of DistanceFilter
+    (DistanceFilter.cpp:11-19,62-63).
+
+    The reference multiplies the *squared* threshold by the *unsquared*
+    ratio root each call: d²_k = maxdist² · ((min/max)^(1/(it-1)))^k,
+    clamped at mindist².  (A quirk — replicated deliberately.)
+    Returns the [iterations] array of squared thresholds per ICP step.
+    """
+    import numpy as np
+
+    it = float(iterations - 1) if iterations >= 1 else 1.0
+    if iterations < 1:
+        it = 1.0
+    mult = (min_dist / max_dist) ** (1.0 / it)
+    k = np.arange(iterations)
+    d2 = (max_dist ** 2) * mult ** k
+    return jnp.asarray(np.maximum(d2, min_dist ** 2))
+
+
+def distance_filter(dist2: jnp.ndarray, pair_mask: jnp.ndarray,
+                    thresh2) -> jnp.ndarray:
+    """DistanceFilter::filter (DistanceFilter.cpp:50-61): keep pairs with
+    d² <= current threshold."""
+    return pair_mask & (dist2 <= thresh2)
+
+
+def reciprocal_filter(model_idx: jnp.ndarray, dist2: jnp.ndarray,
+                      pair_mask: jnp.ndarray,
+                      model_size: int) -> jnp.ndarray:
+    """ReciprocalFilter (ReciprocalFilter.cpp:32-78): at most one pair per
+    model point — the one with the smallest distance.
+
+    Implemented as a segment-min scatter over model indices with a
+    scene-index tiebreak (matching the sort-by-(model, dist) + keep-first
+    semantics of the reference).
+    """
+    S = dist2.shape[0]
+    scene_ids = jnp.arange(S, dtype=dist2.dtype)
+    d2 = jnp.where(pair_mask, dist2, jnp.inf)
+
+    best = jnp.full((model_size,), jnp.inf, dist2.dtype)
+    best = best.at[model_idx].min(d2)
+    is_best = pair_mask & (d2 == best[model_idx])
+
+    # tie-break on the smallest scene index among equal distances
+    sid = jnp.where(is_best, scene_ids, jnp.inf)
+    first = jnp.full((model_size,), jnp.inf, dist2.dtype)
+    first = first.at[model_idx].min(sid)
+    return is_best & (sid == first[model_idx])
+
+
+def trimmed_filter(dist2: jnp.ndarray, pair_mask: jnp.ndarray,
+                   overlap_percent: float) -> jnp.ndarray:
+    """TrimmedFilter (TrimmedFilter.cpp:21-77): keep the best
+    `overlap_percent`% of pairs by distance."""
+    d2 = jnp.where(pair_mask, dist2, jnp.inf)
+    n = jnp.sum(pair_mask)
+    keep = jnp.floor(n * overlap_percent / 100.0).astype(jnp.int32)
+    order = jnp.argsort(d2)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(d2.shape[0]))
+    return pair_mask & (rank < keep)

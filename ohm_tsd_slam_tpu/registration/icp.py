@@ -1,0 +1,177 @@
+"""ICP engine as a single jit-compiled `lax.scan`.
+
+TPU-native redesign of the reference's Icp class
+(src/obvision/registration/icp/Icp.cpp): the strategy-pattern objects
+(PairAssignment + pre/post filters + IRigidEstimator) become one fused
+iteration body; variable-length pair vectors become fixed-shape masks;
+the while-loop with early exit (Icp.cpp:493-508) becomes a scan whose
+carry freezes once converged (identical trajectory, XLA-friendly).
+
+Semantics replicated:
+  * iterate: optional Tinit pre-transform, rms<=maxRMS / rms-plateau
+    (|Δrms| < 10e-10 for conv_cnt iterations) / max-iteration exits
+    (Icp.cpp:480-511)
+  * step: assign → (filters) → estimator RMS → estimate → apply →
+    Tfinal = Tlast·Tfinal (Icp.cpp:410-462), NOTMATCHABLE when <3 pairs
+  * the shrinking distance gate restarts each registration
+    (Icp::reset → PairAssignment::reset, Icp.cpp:333-339)
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ohm_tsd_slam_tpu.config import IcpConfig
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.registration import filters as flt
+from ohm_tsd_slam_tpu.registration.estimators import closed_form_2d
+from ohm_tsd_slam_tpu.registration.nn import nearest_neighbors
+
+
+class IcpState(enum.IntEnum):
+    """EnumIcpState (Icp.h:25-32)."""
+
+    IDLE = 0
+    PROCESSING = 1
+    NOTMATCHABLE = 2
+    MAXITERATIONS = 3
+    TIMEELAPSED = 4
+    SUCCESS = 5
+    CONVERGED = 6
+    ERROR = 7
+
+
+class IcpResult(NamedTuple):
+    T: jnp.ndarray            # (3,3) final scene->model transform
+    rms: jnp.ndarray          # last RMS (mean squared pair distance)
+    pairs: jnp.ndarray        # last pair count
+    iterations: jnp.ndarray   # iterations executed
+    state: jnp.ndarray        # IcpState code
+    # per-iteration history (for the Trace subsystem; zeros after exit)
+    rms_history: jnp.ndarray
+    pair_history: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class IcpParams:
+    """Static ICP parameters (hashable; safe as jit static arg)."""
+
+    iterations: int = 25
+    max_rms: float = 0.0
+    convergence_count: int = 5
+    conv_eps: float = 10e-10          # rms-plateau epsilon (Icp.cpp:498)
+    dist_min: float = 0.2
+    dist_max: float = 1.0
+    use_distance_filter: bool = True
+    use_reciprocal_filter: bool = True
+    # grid AABB for the out-of-bounds prefilter (ThreadLocalize.cpp:218)
+    bounds: Optional[Tuple[float, float, float, float]] = None
+
+    @staticmethod
+    def from_config(cfg: IcpConfig, bounds=None) -> "IcpParams":
+        return IcpParams(
+            iterations=cfg.iterations,
+            max_rms=cfg.max_rms,
+            convergence_count=cfg.convergence_count,
+            dist_min=cfg.dist_filter_min,
+            dist_max=cfg.dist_filter_max,
+            use_distance_filter=cfg.use_distance_filter,
+            use_reciprocal_filter=cfg.use_reciprocal_filter,
+            bounds=bounds,
+        )
+
+
+def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
+        scene: jnp.ndarray, scene_mask: jnp.ndarray,
+        params: IcpParams,
+        T_init: Optional[jnp.ndarray] = None,
+        sensor_pose: Optional[jnp.ndarray] = None) -> IcpResult:
+    """Register `scene` onto `model`.
+
+    Args:
+      model: (M, 2) model points (beam-aligned); model_mask: (M,).
+      scene: (S, 2) scene points (beam-aligned);  scene_mask: (S,).
+      params: static parameters.
+      T_init: optional (3,3) initial transform (the RANSAC seed embedded
+        at ThreadLocalize.cpp:539-565 / applied at Icp.cpp:482-487).
+      sensor_pose: (3,3) pose for the out-of-bounds prefilter (the filter
+        maps scene points to world coords; ThreadLocalize.cpp:571-573).
+    Returns:
+      IcpResult with T = accumulated transform (includes T_init).
+    """
+    dtype = scene.dtype
+    M = model.shape[0]
+    if T_init is None:
+        T_init = jnp.eye(3, dtype=dtype)
+    if sensor_pose is None:
+        sensor_pose = jnp.eye(3, dtype=dtype)
+
+    thresh2 = flt.distance_threshold_schedule(
+        params.dist_max, params.dist_min, params.iterations).astype(dtype)
+
+    def body(carry, it):
+        T, rms_prev, conv_cnt, done, state = carry
+        scene_cur = se2.transform_points(T, scene)
+
+        smask = scene_mask
+        if params.bounds is not None:
+            x0, x1, y0, y1 = params.bounds
+            smask = flt.out_of_bounds_filter_2d(
+                scene_cur, smask, sensor_pose, x0, x1, y0, y1)
+
+        idx, d2 = nearest_neighbors(model, model_mask, scene_cur, smask)
+        pmask = smask & jnp.isfinite(d2)
+        if params.use_distance_filter:
+            pmask = flt.distance_filter(d2, pmask, thresh2[it])
+        if params.use_reciprocal_filter:
+            pmask = flt.reciprocal_filter(idx, d2, pmask, M)
+
+        npairs = jnp.sum(pmask)
+        matchable = npairs > 2      # Icp.cpp:421
+
+        T_last, rms = closed_form_2d(model, scene_cur, idx, pmask)
+        T_new = jnp.where(matchable, T_last @ T, T)
+        rms = jnp.where(matchable, rms, rms_prev)
+
+        plateau = jnp.abs(rms - rms_prev) < params.conv_eps
+        conv_new = jnp.where(plateau, conv_cnt + 1, 0)
+        success = matchable & ((rms <= params.max_rms)
+                               | (conv_new >= params.convergence_count))
+        maxed = it + 1 >= params.iterations
+
+        new_state = jnp.where(
+            ~matchable, IcpState.NOTMATCHABLE,
+            jnp.where(success, IcpState.SUCCESS,
+                      jnp.where(maxed, IcpState.MAXITERATIONS,
+                                IcpState.PROCESSING)))
+
+        # freeze once done (reference exits its while loop here)
+        out_T = jnp.where(done, T, T_new)
+        out_rms = jnp.where(done, rms_prev, rms)
+        out_conv = jnp.where(done, conv_cnt, conv_new)
+        out_state = jnp.where(done, state, new_state)
+        new_done = done | ~matchable | success
+        hist = (jnp.where(done, jnp.nan, rms),
+                jnp.where(done, 0, npairs),
+                jnp.where(done, 0, 1))
+        return (out_T, out_rms, out_conv, new_done, out_state), hist
+
+    init = (T_init, jnp.asarray(10e12, dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), jnp.asarray(int(IcpState.PROCESSING),
+                                            jnp.int32))
+    (T, rms, _, _, state), (rms_h, pair_h, ran) = jax.lax.scan(
+        body, init, jnp.arange(params.iterations))
+
+    iters = jnp.sum(ran)
+    last = jnp.maximum(iters - 1, 0)
+    return IcpResult(T=T, rms=rms, pairs=pair_h[last], iterations=iters,
+                     state=state, rms_history=rms_h, pair_history=pair_h)
+
+
+icp_jit = jax.jit(icp, static_argnames=("params",))

@@ -1,0 +1,163 @@
+"""Per-robot localization pipeline.
+
+TPU-native redesign of ThreadLocalize (src/ThreadLocalize.cpp).  The
+reference's per-scan event loop body (raycast model → Cartesian scene →
+RANSAC pre-match → ICP → error gate → pose update) becomes ONE jitted
+step function `localize_step` over the functional grid state; the
+surrounding thread/queue machinery lives in slam.node.
+
+Semantics replicated (citations inline):
+  * model rendering via masked raycast              (ThreadLocalize.cpp:353)
+  * scene conversion + standard mask                (:328-329,361)
+  * registration dispatch by mode                   (:513-591)
+  * registration error gate ‖t‖ > trnsMax or
+    |sin Δφ| > rotMax → NaN pose sentinel           (:381-387,593-600)
+  * pose update by right-multiplication             (:397; Sensor.cpp:50-60)
+  * significance gate for map updates
+    (|sin Δφ| > ROT_MIN or ‖Δt‖ > TRNS_MIN)         (:402,728-736)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ohm_tsd_slam_tpu.config import RegistrationConfig, RegMode
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.grid.raycast import raycast
+from ohm_tsd_slam_tpu.grid.state import TsdGrid
+from ohm_tsd_slam_tpu.registration.icp import IcpParams, icp
+from ohm_tsd_slam_tpu.sensor.polar2d import (
+    SensorPolar2D,
+    data_to_cartesian,
+)
+
+
+def calc_angle_02pi(T: jnp.ndarray) -> jnp.ndarray:
+    """ThreadLocalize::calcAngle (ThreadLocalize.cpp:715-726): angle in
+    [0, 2π) recovered from asin/acos of the rotation entries, returning 0
+    when the sign pattern matches neither branch (e.g. θ == 0)."""
+    arcsin = jnp.arcsin(jnp.clip(T[1, 0], -1.0, 1.0))
+    arcsineg = jnp.arcsin(jnp.clip(T[0, 1], -1.0, 1.0))
+    arccos = jnp.arccos(jnp.clip(T[0, 0], -1.0, 1.0))
+    return jnp.where((arcsin > 0.0) & (arcsineg < 0.0), arccos,
+                     jnp.where((arcsin < 0.0) & (arcsineg > 0.0),
+                               2.0 * jnp.pi - arccos, 0.0))
+
+
+def is_registration_error(T: jnp.ndarray, trns_max: float,
+                          rot_max: float) -> jnp.ndarray:
+    """ThreadLocalize::isRegistrationError (ThreadLocalize.cpp:593-600)."""
+    trns = jnp.sqrt(T[0, 2] ** 2 + T[1, 2] ** 2)
+    dphi = calc_angle_02pi(T)
+    return (trns > trns_max) | (jnp.abs(jnp.sin(dphi)) > rot_max)
+
+
+def is_pose_change_significant(last_pose: jnp.ndarray,
+                               cur_pose: jnp.ndarray,
+                               trns_min: float,
+                               rot_min: float) -> jnp.ndarray:
+    """ThreadLocalize::isPoseChangeSignificant (ThreadLocalize.cpp:728-736)."""
+    dx = cur_pose[0, 2] - last_pose[0, 2]
+    dy = cur_pose[1, 2] - last_pose[1, 2]
+    dphi = calc_angle_02pi(cur_pose) - calc_angle_02pi(last_pose)
+    dphi = jnp.abs(jnp.sin(dphi))
+    trns = jnp.sqrt(dx * dx + dy * dy)
+    return (dphi > rot_min) | (trns > trns_min)
+
+
+class LocalizeResult(NamedTuple):
+    pose: jnp.ndarray          # (3,3) updated sensor pose (unchanged on error)
+    T: jnp.ndarray             # (3,3) estimated scene->model transform
+    reg_error: jnp.ndarray     # bool — NaN-pose sentinel condition
+    significant: jnp.ndarray   # bool — push pose to mapper
+    model_valid: jnp.ndarray   # number of valid model points
+    scene_valid: jnp.ndarray   # number of valid scene points
+    rms: jnp.ndarray
+    icp_iterations: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class LocalizeParams:
+    """Static per-robot localization parameters (hashable)."""
+
+    geom: SensorPolar2D
+    icp: IcpParams
+    mode: int = int(RegMode.ICP)
+    trns_max: float = 0.25
+    rot_max: float = 0.17
+    trns_min: float = 0.05
+    rot_min: float = 0.03
+
+    @staticmethod
+    def from_config(reg: RegistrationConfig, geom: SensorPolar2D,
+                    bounds=None) -> "LocalizeParams":
+        return LocalizeParams(
+            geom=geom,
+            icp=IcpParams.from_config(reg.icp, bounds=bounds),
+            mode=int(reg.mode),
+            trns_max=reg.trns_thresh,
+            rot_max=reg.rot_thresh,
+            trns_min=reg.trns_min,
+            rot_min=reg.rot_min,
+        )
+
+
+def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
+                  data: jnp.ndarray, mask: jnp.ndarray,
+                  params: LocalizeParams,
+                  T_prereg: Optional[jnp.ndarray] = None) -> LocalizeResult:
+    """One localization cycle (the body of ThreadLocalize::eventLoop,
+    ThreadLocalize.cpp:310-409).
+
+    Args:
+      grid: current map state.
+      pose: (3,3) current sensor pose estimate.
+      last_pose: pose at the last map update (significance reference).
+      data, mask: masked scan (after standard_mask/clamp).
+      params: static parameters.
+      T_prereg: optional externally computed RANSAC seed (3,3); the
+        matchers in registration.ransac produce it for EXP/PDF/TSD modes.
+    """
+    geom = params.geom
+
+    # model rendering (reference raycast, beam-aligned masked outputs)
+    model = raycast(grid, geom, pose)
+
+    # scene (Sensor::dataToCartesianVectorMask)
+    scene, scene_mask = data_to_cartesian(geom, data, mask)
+
+    # registration: optional pre-match seed + ICP refinement
+    T_init = T_prereg if T_prereg is not None else jnp.eye(
+        3, dtype=scene.dtype)
+    icp_res = icp(model.coords, model.mask, scene, scene_mask,
+                  params.icp, T_init=T_init, sensor_pose=pose)
+    T = icp_res.T
+
+    # failure gate + pose update
+    model_ok = jnp.sum(model.mask) > 0    # raycast-degenerate guard (:354-358)
+    err = is_registration_error(T, params.trns_max, params.rot_max)
+    err = err | ~model_ok
+    new_pose = jnp.where(err, pose, pose @ T)
+
+    significant = (~err) & is_pose_change_significant(
+        last_pose, new_pose, params.trns_min, params.rot_min)
+
+    return LocalizeResult(
+        pose=new_pose,
+        T=T,
+        reg_error=err,
+        significant=significant,
+        model_valid=jnp.sum(model.mask),
+        scene_valid=jnp.sum(scene_mask),
+        rms=icp_res.rms,
+        icp_iterations=icp_res.iterations,
+    )
+
+
+localize_step_jit = jax.jit(localize_step, static_argnames=("params",))

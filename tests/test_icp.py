@@ -1,0 +1,121 @@
+"""ICP engine vs the NumPy oracle and recovery-of-known-transform
+properties."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.registration import IcpParams, IcpState, icp
+from ohm_tsd_slam_tpu.utils.testing import rect_walls, simulate_scan
+from oracle.oracle_icp import OracleIcp
+
+SIZE = 271
+RES = math.radians(1.0)
+PHI0 = math.radians(-135.0)
+RMAX = 8.0
+
+
+def _cloud(pose_xyt):
+    pose = np.array(se2.make(*pose_xyt, dtype=jnp.float64))
+    walls = rect_walls(0.5, 0.5, 7.5, 7.5)
+    r = simulate_scan(pose, SIZE, RES, PHI0, RMAX, segments=walls,
+                      circles=[((5.0, 5.0), 0.6), ((2.0, 6.0), 0.4)])
+    phi = PHI0 + np.arange(SIZE) * RES
+    pts = np.stack([np.cos(phi), np.sin(phi)], 1) * r[:, None]
+    valid = np.isfinite(r)
+    return pts[valid]
+
+
+def test_icp_matches_oracle():
+    model = _cloud((4.0, 4.0, 0.0))
+    scene = _cloud((4.08, 3.95, 0.05))
+
+    params = IcpParams(iterations=25, dist_max=1.0, dist_min=0.2)
+    res = icp(jnp.asarray(model), jnp.ones(len(model), bool),
+              jnp.asarray(scene), jnp.ones(len(scene), bool), params)
+
+    oracle = OracleIcp(iterations=25, dist_max=1.0, dist_min=0.2)
+    To, rms_o, pairs_o, iters_o, trace = oracle.register(model, scene)
+
+    np.testing.assert_allclose(np.array(res.T), To, atol=1e-9)
+    assert int(res.iterations) == iters_o
+    assert int(res.pairs) == pairs_o
+    np.testing.assert_allclose(float(res.rms), rms_o, rtol=1e-9)
+    # per-iteration pair counts agree
+    got_pairs = np.array(res.pair_history)[:iters_o]
+    exp_pairs = np.array([t[1] for t in trace])
+    np.testing.assert_array_equal(got_pairs, exp_pairs)
+
+
+def test_icp_recovers_known_transform():
+    """Scene displaced by a known rigid transform: ICP must invert it."""
+    model = _cloud((4.0, 4.0, 0.3))
+    # displacement small vs beam spacing so point-to-point ICP has exact
+    # correspondences in its basin (larger offsets alias to neighboring
+    # beams — a property shared with the reference engine)
+    T_true = np.array(se2.make(0.02, -0.015, 0.01, dtype=jnp.float64))
+    # scene = T_true^-1 model  =>  ICP should estimate ~T_true
+    Ti = np.linalg.inv(T_true)
+    scene = model @ Ti[:2, :2].T + Ti[:2, 2]
+
+    params = IcpParams(iterations=30, dist_max=1.0, dist_min=0.1)
+    res = icp(jnp.asarray(model), jnp.ones(len(model), bool),
+              jnp.asarray(scene), jnp.ones(len(scene), bool), params)
+    np.testing.assert_allclose(np.array(res.T), T_true, atol=1e-5)
+    assert int(res.state) == IcpState.SUCCESS
+
+
+def test_icp_with_masks_equals_compacted():
+    """Masked beam-aligned inputs give the same result as compacted
+    arrays (the reference compacts via maskMatrix,
+    ThreadLocalize.cpp:738-755)."""
+    model = _cloud((4.0, 4.0, 0.0))
+    scene = _cloud((4.05, 4.02, -0.03))
+
+    rng = np.random.default_rng(3)
+    # pad with garbage points that are masked out
+    pad_m = rng.uniform(0, 8, (40, 2))
+    pad_s = rng.uniform(0, 8, (25, 2))
+    model_p = np.concatenate([model, pad_m])
+    scene_p = np.concatenate([scene, pad_s])
+    mmask = np.concatenate([np.ones(len(model), bool), np.zeros(40, bool)])
+    smask = np.concatenate([np.ones(len(scene), bool), np.zeros(25, bool)])
+
+    params = IcpParams(iterations=20)
+    r1 = icp(jnp.asarray(model), jnp.ones(len(model), bool),
+             jnp.asarray(scene), jnp.ones(len(scene), bool), params)
+    r2 = icp(jnp.asarray(model_p), jnp.asarray(mmask),
+             jnp.asarray(scene_p), jnp.asarray(smask), params)
+    np.testing.assert_allclose(np.array(r1.T), np.array(r2.T), atol=1e-12)
+    assert int(r1.pairs) == int(r2.pairs)
+
+
+def test_icp_not_matchable():
+    """Fewer than 3 pairs -> NOTMATCHABLE, identity transform
+    (Icp.cpp:421,458)."""
+    model = np.array([[0.0, 0.0], [1.0, 0.0]])
+    scene = np.array([[0.0, 0.1], [1.0, 0.1]])
+    params = IcpParams(iterations=5)
+    res = icp(jnp.asarray(model), jnp.ones(2, bool),
+              jnp.asarray(scene), jnp.ones(2, bool), params)
+    assert int(res.state) == IcpState.NOTMATCHABLE
+    np.testing.assert_allclose(np.array(res.T), np.eye(3))
+
+
+def test_icp_with_tinit_seed():
+    """A T_init seed is pre-applied and included in the result
+    (Icp.cpp:482-487)."""
+    model = _cloud((4.0, 4.0, 0.0))
+    T_true = np.array(se2.make(0.2, -0.15, 0.12, dtype=jnp.float64))
+    Ti = np.linalg.inv(T_true)
+    scene = model @ Ti[:2, :2].T + Ti[:2, 2]
+
+    # seed close to the answer
+    T_seed = np.array(se2.make(0.19, -0.14, 0.11, dtype=jnp.float64))
+    params = IcpParams(iterations=30, dist_max=1.0, dist_min=0.1)
+    res = icp(jnp.asarray(model), jnp.ones(len(model), bool),
+              jnp.asarray(scene), jnp.ones(len(scene), bool), params,
+              T_init=jnp.asarray(T_seed))
+    np.testing.assert_allclose(np.array(res.T), T_true, atol=1e-6)

@@ -1,0 +1,167 @@
+"""End-to-end SLAM: a simulated robot trajectory through the analytic
+room, full localize→map loop, checking trajectory tracking and the
+extracted occupancy grid (SURVEY.md §4 test plan, item 5)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ohm_tsd_slam_tpu.config import (
+    GridConfig,
+    RegistrationConfig,
+    IcpConfig,
+    RobotConfig,
+    SensorConfig,
+    SlamConfig,
+)
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.slam import LaserScan, SlamNode
+from ohm_tsd_slam_tpu.utils.testing import rect_walls, simulate_scan
+
+BEAMS = 361
+RES = math.radians(0.75)
+PHI0 = math.radians(-135.0)
+RMAX = 9.0
+
+# 256 cells @ 0.04 m -> 10.24 m world; world frame == grid frame with the
+# robot starting at the grid center.
+CFG = SlamConfig(
+    grid=GridConfig(map_size=8, cellsize=0.04, truncation_radius=3.0),
+    robots=[RobotConfig(
+        # trajectory starts at theta=0.2: anchor the SLAM frame there
+        # (the reference takes the start pose from local_offset_* params,
+        # ThreadLocalize.cpp:466-482)
+        local_offset_yaw=0.2,
+        sensor=SensorConfig(max_range=RMAX, min_range=0.01,
+                            low_reflectivity_range=1.0),
+        registration=RegistrationConfig(
+            icp=IcpConfig(iterations=30, dist_filter_max=0.5,
+                          dist_filter_min=0.05)),
+    )],
+)
+
+# walls inside the interior tile region (the extractor skips the outer
+# tile ring, RayCastAxisAligned2D.cpp:25-27: cells 32..223 here)
+WALLS = rect_walls(1.5, 1.5, 8.5, 8.5)
+CIRCLES = [((7.0, 7.2), 0.5), ((3.0, 7.5), 0.35)]
+
+
+def _scan_at(pose_np: np.ndarray, stamp: float) -> LaserScan:
+    r = simulate_scan(pose_np, BEAMS, RES, PHI0, RMAX,
+                      segments=WALLS, circles=CIRCLES)
+    return LaserScan(ranges=r, angle_min=PHI0, angle_increment=RES,
+                     range_max=RMAX, stamp=stamp)
+
+
+def _trajectory(n: int):
+    """Slow arc through the room: per-step motion ~2 cm / 0.5 deg."""
+    poses = []
+    x, y, th = 5.12, 5.12, 0.2
+    for k in range(n):
+        poses.append((x, y, th))
+        x += 0.02 * math.cos(th)
+        y += 0.02 * math.sin(th)
+        th += math.radians(0.5)
+    return poses
+
+
+def test_slam_tracks_trajectory():
+    node = SlamNode(CFG, dtype=jnp.float64)
+    gt = _trajectory(30)
+
+    est_err = []
+    for k, (x, y, th) in enumerate(gt):
+        pose_np = np.array(se2.make(x, y, th, dtype=jnp.float64))
+        msg = _scan_at(pose_np, stamp=float(k))
+        out = node.process_scan(0, msg)
+        if k == 0:
+            assert out is None       # first scan initializes
+            continue
+        assert out is not None and not out.is_nan
+        # published pose is grid-frame + grid offset; grid offset is
+        # -size/2, world start == grid center => world == published +
+        # size/2 ... compare in grid frame directly:
+        est = np.asarray(node.localizers[0].pose)
+        est_err.append(np.hypot(est[0, 2] - x, est[1, 2] - y))
+
+    est_err = np.array(est_err)
+    # localization stays within ~a cell of ground truth
+    assert est_err.max() < 2.5 * CFG.grid.cellsize, est_err.max()
+    assert est_err[-1] < 2.5 * CFG.grid.cellsize
+
+
+def test_slam_occupancy_map():
+    node = SlamNode(CFG, dtype=jnp.float64)
+    for k, (x, y, th) in enumerate(_trajectory(12)):
+        pose_np = np.array(se2.make(x, y, th, dtype=jnp.float64))
+        node.process_scan(0, _scan_at(pose_np, stamp=float(k)))
+
+    occ_msg, img = node.publish_map()
+    occ = occ_msg.data
+    assert occ.shape == (256, 256)
+    n_occ = int((occ == 100).sum())
+    n_free = int((occ == 0).sum())
+    assert n_occ > 100          # walls were extracted
+    assert n_free > 5000        # interior marked free
+    # occupied cells near the wall lines: check a sample on the east wall
+    # x = 8.5 m -> cell ~212
+    east = occ[:, 208:217]
+    assert (east == 100).any()
+    # TSD color image present
+    assert img is not None and img.data.shape == (256, 256, 3)
+    # some green (positive tsd) and some red (negative) pixels exist
+    g = img.data[:, :, 1]
+    assert (g == 255).any()
+
+
+def test_slam_registration_failure_nan_sentinel():
+    """A teleport (scan from a pose 0.35 m away — within ICP's basin so
+    the transform is actually recovered) yields a transform beyond
+    reg_trs_max=0.25 -> NaN pose sentinel, pose unchanged
+    (ThreadLocalize.cpp:381-387,593-600)."""
+    node = SlamNode(CFG, dtype=jnp.float64)
+    x, y, th = 5.12, 5.12, 0.2
+    pose_np = np.array(se2.make(x, y, th, dtype=jnp.float64))
+    node.process_scan(0, _scan_at(pose_np, 0.0))
+    # one normal step so we're past init
+    node.process_scan(0, _scan_at(pose_np, 1.0))
+    pose_before = np.asarray(node.localizers[0].pose)
+
+    tele = np.array(se2.make(x + 0.35, y, th, dtype=jnp.float64))
+    out = node.process_scan(0, _scan_at(tele, 2.0))
+    assert out is not None and out.is_nan
+    np.testing.assert_array_equal(np.asarray(node.localizers[0].pose),
+                                  pose_before)
+
+
+def test_slam_unmatchable_scan_keeps_pose():
+    """A degenerate scan (tiny ring) produces <3 pairs -> NOTMATCHABLE ->
+    identity transform: the pose is republished unchanged and no NaN is
+    emitted (Icp.cpp:421,458; the reference's error gate passes an
+    identity transform)."""
+    node = SlamNode(CFG, dtype=jnp.float64)
+    pose_np = np.array(se2.make(5.12, 5.12, 0.2, dtype=jnp.float64))
+    node.process_scan(0, _scan_at(pose_np, 0.0))
+    node.process_scan(0, _scan_at(pose_np, 1.0))
+    pose_before = np.asarray(node.localizers[0].pose)
+
+    ring = LaserScan(ranges=np.full(BEAMS, 0.3), angle_min=PHI0,
+                     angle_increment=RES, range_max=RMAX, stamp=2.0)
+    out = node.process_scan(0, ring)
+    assert out is not None and not out.is_nan
+    np.testing.assert_array_equal(np.asarray(node.localizers[0].pose),
+                                  pose_before)
+
+
+def test_slam_start_stop():
+    """start_stop_slam service equivalent (SlamNode.cpp:159-189)."""
+    node = SlamNode(CFG, dtype=jnp.float64)
+    node.set_active(False)
+    pose_np = np.array(se2.make(5.12, 5.12, 0.2, dtype=jnp.float64))
+    assert node.process_scan(0, _scan_at(pose_np, 0.0)) is None
+    assert not node.localizers[0].initialized
+    node.set_active(True)
+    node.process_scan(0, _scan_at(pose_np, 1.0))
+    assert node.localizers[0].initialized
