@@ -1,0 +1,129 @@
+"""Benchmark: raycast throughput (rays/s/chip) on the reference's default
+workload — 1024^2-cell TSD grid at 0.025 m (SlamNode.cpp:53-54,77), a
+1081-beam Hokuyo-class scan (ThreadLocalize.h:297-299).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline derivation: the reference publishes no numbers (BASELINE.md).
+Its implicit budget is real-time localization of a 1081-beam scan at
+lidar rate on a robot CPU; the 40 Hz upper bound of the cited scan rate
+(SURVEY.md §6) gives 1081 * 40 = 43,240 rays/s. vs_baseline is measured
+rays/s divided by that.
+
+Extra diagnostics (push/s, scan-match steps/s) go to stderr.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 1081 * 40.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log("devices:", jax.devices())
+
+    from ohm_tsd_slam_tpu.config import GridConfig
+    from ohm_tsd_slam_tpu.core import se2
+    from ohm_tsd_slam_tpu.grid import create, push
+    from ohm_tsd_slam_tpu.grid.raycast import raycast
+    from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
+    from ohm_tsd_slam_tpu.registration.icp import IcpParams
+    from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D, standard_mask
+    from ohm_tsd_slam_tpu.slam.localize import LocalizeParams, localize_step
+    from ohm_tsd_slam_tpu.utils.testing import rect_walls, simulate_scan
+
+    cfg = GridConfig(map_size=10, cellsize=0.025)   # 1024^2, 25.6 m
+    gw = cfg.size_meters
+    B = 1081
+    geom = SensorPolar2D(size=B, angular_res=math.radians(270.0 / B),
+                         phi_min=math.radians(-135.0), max_range=25.0,
+                         min_range=0.01, low_reflectivity_range=2.0)
+
+    pose_np = np.array(se2.make(gw / 2, gw / 2, 0.1, dtype=np.float64))
+    walls = rect_walls(2.0, 2.0, gw - 2.0, gw - 2.0)
+    ranges = simulate_scan(pose_np, B, geom.angular_res, geom.phi_min,
+                           geom.max_range, segments=walls,
+                           circles=[((gw / 2 + 4, gw / 2 + 4), 0.5)])
+
+    pose = jnp.asarray(pose_np, jnp.float32)
+    data, mask = standard_mask(geom, jnp.asarray(ranges, jnp.float32))
+    grid = create(cfg, dtype=jnp.float32)
+    t0 = time.time()
+    grid = push(grid, geom, pose, data, mask)
+    jax.block_until_ready(grid.tsd)
+    log(f"push compile+run: {time.time()-t0:.2f}s")
+
+    # ---- chained raycast benchmark (amortizes dispatch latency) -------
+    N_CHAIN = 20
+
+    @jax.jit
+    def ray_chain(grid, pose):
+        def body(i, acc):
+            d = (i.astype(jnp.float32) - N_CHAIN / 2) * 1e-4
+            p = pose @ se2.make(d, -d, d, dtype=pose.dtype)
+            r = raycast_fast(grid, geom, p)
+            return acc + jnp.sum(r.ranges)
+        return jax.lax.fori_loop(0, N_CHAIN, body, 0.0)
+
+    t0 = time.time()
+    ray_chain(grid, pose).block_until_ready()
+    log(f"raycast compile: {time.time()-t0:.2f}s")
+
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        ray_chain(grid, pose).block_until_ready()
+        times.append(time.time() - t0)
+    t_ray = min(times) / N_CHAIN
+    rays_per_s = B / t_ray
+    log(f"raycast: {t_ray*1e3:.3f} ms/scan -> {rays_per_s:,.0f} rays/s")
+
+    # ---- diagnostics: push/s and full scan-match steps/s --------------
+    @jax.jit
+    def push_once(grid):
+        return push(grid, geom, pose, data, mask)
+
+    push_once(grid).tsd.block_until_ready()
+    t0 = time.time()
+    for _ in range(5):
+        g2 = push_once(grid)
+    jax.block_until_ready(g2.tsd)
+    log(f"push: {(time.time()-t0)/5*1e3:.2f} ms -> "
+        f"{5/(time.time()-t0):,.1f} pushes/s")
+
+    params = LocalizeParams(
+        geom=geom, icp=IcpParams(iterations=25, bounds=(0., gw, 0., gw)))
+    step = jax.jit(lambda g, p, d, m: localize_step(g, p, p, d, m, params))
+    out = step(grid, pose, data, mask)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(5):
+        out = step(grid, pose, data, mask)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / 5
+    log(f"localize_step: {dt*1e3:.2f} ms -> {1/dt:,.1f} scan-matches/s "
+        f"({25/dt:,.0f} ICP iters/s)")
+
+    print(json.dumps({
+        "metric": "raycast_rays_per_sec_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

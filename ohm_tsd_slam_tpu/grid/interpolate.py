@@ -97,6 +97,31 @@ def interpolate_bilinear(grid: TsdGrid,
     return tsd, code
 
 
+def interpolate_bilinear_safe(grid: TsdGrid, coords: jnp.ndarray
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiation-safe bilinear interpolation: identical values to
+    `interpolate_bilinear` where it succeeds, but NaN taps are replaced
+    by zeros *inside* the arithmetic so reverse-mode AD never multiplies
+    NaN into the tap-weight gradients (d/dcoords).  Returns (tsd, ok).
+    """
+    ix, iy, wx, wy, valid = coord2cell(grid, coords)
+    txc = jnp.clip(ix // grid.tile_dim, 0, grid.tiles_x - 1)
+    tyc = jnp.clip(iy // grid.tile_dim, 0, grid.tiles_y - 1)
+    tile_ok = grid.tile_init[tyc, txc]
+
+    taps = [_tap(grid, ix, iy), _tap(grid, ix, iy + 1),
+            _tap(grid, ix + 1, iy), _tap(grid, ix + 1, iy + 1)]
+    finite = ~(jnp.isnan(taps[0]) | jnp.isnan(taps[1])
+               | jnp.isnan(taps[2]) | jnp.isnan(taps[3]))
+    v00, v10, v01, v11 = [jnp.nan_to_num(t) for t in taps]
+    tsd = (v00 * (1.0 - wy) * (1.0 - wx)
+           + v10 * wy * (1.0 - wx)
+           + v01 * (1.0 - wy) * wx
+           + v11 * wy * wx)
+    ok = valid & tile_ok & finite
+    return jnp.where(ok, tsd, 0.0), ok
+
+
 def interpolate_normal(grid: TsdGrid,
                        coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """TsdGrid::interpolateNormal (TsdGrid.cpp:517-546): central

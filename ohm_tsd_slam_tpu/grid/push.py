@@ -167,8 +167,11 @@ def push(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
     idx = back_project(geom, pose, cells)               # [H, W]
     beam_ok = idx >= 0
     idx_c = jnp.clip(idx, 0, geom.size - 1)
-    d = data[idx_c]
-    m = mask[idx_c] & beam_ok
+    # Single encoded table lookup instead of separate data/mask gathers
+    # (random gathers are the TPU bottleneck): NaN encodes a masked beam.
+    data_enc = jnp.where(mask, data, jnp.nan)
+    d = data_enc[idx_c]
+    m = ~jnp.isnan(d) & beam_ok
 
     dist_cell = jnp.linalg.norm(cells - tr, axis=-1)
     finite = ~jnp.isinf(d)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ohm_tsd_slam_tpu.config import RegistrationConfig, RegMode
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.raycast import raycast
+from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
 from ohm_tsd_slam_tpu.registration.icp import IcpParams, icp
 from ohm_tsd_slam_tpu.sensor.polar2d import (
@@ -93,6 +94,9 @@ class LocalizeParams:
     rot_max: float = 0.17
     trns_min: float = 0.05
     rot_min: float = 0.03
+    # splat+refine renderer (grid/raycast_fast.py) instead of the dense
+    # march — same model points on >98% of beams, ~10x faster on TPU
+    fast_raycast: bool = True
 
     @staticmethod
     def from_config(reg: RegistrationConfig, geom: SensorPolar2D,
@@ -127,7 +131,8 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
     geom = params.geom
 
     # model rendering (reference raycast, beam-aligned masked outputs)
-    model = raycast(grid, geom, pose)
+    render = raycast_fast if params.fast_raycast else raycast
+    model = render(grid, geom, pose)
 
     # scene (Sensor::dataToCartesianVectorMask)
     scene, scene_mask = data_to_cartesian(geom, data, mask)

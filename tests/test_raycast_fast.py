@@ -1,0 +1,80 @@
+"""Fast (splat+refine) raycast vs the exact dense march."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ohm_tsd_slam_tpu.config import GridConfig
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.grid import create, push, raycast
+from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
+from ohm_tsd_slam_tpu.sensor import polar2d
+from ohm_tsd_slam_tpu.utils.testing import rect_walls, simulate_scan
+
+CFG = GridConfig(map_size=8, cellsize=0.04)
+GEOM = dict(size=361, angular_res=math.radians(0.75),
+            phi_min=math.radians(-135.0), max_range=9.0,
+            min_range=0.01, low_reflectivity_range=1.0)
+
+
+def _grid_and_geom(poses_xyt):
+    geom = polar2d.SensorPolar2D(**GEOM)
+    grid = create(CFG, dtype=jnp.float64)
+    walls = rect_walls(1.5, 1.5, 8.5, 8.5)
+    for pose_xyt in poses_xyt:
+        pose = np.array(se2.make(*pose_xyt, dtype=jnp.float64))
+        r = simulate_scan(pose, GEOM["size"], GEOM["angular_res"],
+                          GEOM["phi_min"], GEOM["max_range"],
+                          segments=walls,
+                          circles=[((7.0, 7.2), 0.5), ((3.0, 7.5), 0.35)])
+        data, mask = polar2d.standard_mask(geom, jnp.asarray(r))
+        grid = push(grid, geom, jnp.asarray(pose), data, mask)
+    return grid, geom
+
+
+def _compare(grid, geom, pose_xyt):
+    pose = jnp.asarray(np.array(se2.make(*pose_xyt, dtype=jnp.float64)))
+    exact = raycast(grid, geom, pose)
+    fast = raycast_fast(grid, geom, pose)
+
+    me = np.array(exact.mask)
+    mf = np.array(fast.mask)
+    agree = me == mf
+    # allow a small fraction of boundary-beam disagreement
+    assert agree.mean() > 0.98, (agree.mean(), np.where(~agree)[0][:20])
+    both = me & mf
+    np.testing.assert_allclose(np.array(fast.coords)[both],
+                               np.array(exact.coords)[both],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.array(fast.normals)[both],
+                               np.array(exact.normals)[both], atol=1e-9)
+    return both.sum(), (~agree).sum()
+
+
+def test_fast_matches_exact_same_pose():
+    grid, geom = _grid_and_geom([(5.12, 5.12, 0.2)])
+    n, bad = _compare(grid, geom, (5.12, 5.12, 0.2))
+    assert n > 250
+
+
+def test_fast_matches_exact_other_pose():
+    grid, geom = _grid_and_geom([(5.12, 5.12, 0.2)])
+    _compare(grid, geom, (5.3, 4.9, 0.9))
+    _compare(grid, geom, (4.5, 5.5, -1.3))
+
+
+def test_fast_matches_exact_multi_scan_map():
+    grid, geom = _grid_and_geom(
+        [(5.12, 5.12, 0.2), (5.5, 5.3, 0.6), (4.8, 4.9, -0.4)])
+    n, bad = _compare(grid, geom, (5.0, 5.0, 1.2))
+    assert n > 250
+
+
+def test_fast_empty_grid():
+    geom = polar2d.SensorPolar2D(**GEOM)
+    grid = create(CFG, dtype=jnp.float64)
+    pose = jnp.asarray(np.array(se2.make(5.0, 5.0, 0.0,
+                                         dtype=jnp.float64)))
+    res = raycast_fast(grid, geom, pose)
+    assert not bool(np.array(res.mask).any())
