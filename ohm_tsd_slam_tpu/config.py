@@ -87,12 +87,17 @@ class IcpConfig:
 
 @dataclass(frozen=True)
 class RansacConfig:
-    """RANSAC matcher parameters (src/ThreadLocalize.cpp:104-117)."""
+    """RANSAC matcher parameters.
 
-    trials: int = 50                   # RANSAC_TRIALS (ThreadLocalize.h:67)
-    eps_thresh: float = 0.15           # RANSAC_EPS_THRESH
-    size_control_set: int = 180        # RANSAC_CTRLSET_SIZE
-    phi_max_deg: float = 30.0          # RANSAC_PHI_MAX (degrees)
+    The matcher constructors consume the node-level params `trials`,
+    `sizeControlSet`, `epsThresh` (src/ThreadLocalize.cpp:105-107,
+    184-190); only `ransac_phi_max` is per-robot and passed at match
+    time (src/ThreadLocalize.cpp:172,538-558)."""
+
+    trials: int = 100                  # "trials" (ThreadLocalize.cpp:105)
+    eps_thresh: float = 0.15           # "epsThresh" (:107)
+    size_control_set: int = 140        # "sizeControlSet" (:106)
+    phi_max_deg: float = 30.0          # "<robot>ransac_phi_max" (:168)
 
 
 @dataclass(frozen=True)
@@ -105,11 +110,14 @@ class BeamModelConfig:
     zshort: float = 0.25
     zmax: float = 0.05
     zrand: float = 0.25
-    sig_hit: float = 0.2
-    lam_short: float = 1.0
-    max_range: float = 30.0
+    sig_hit: float = 0.2               # "sighit" (ThreadLocalize.cpp:116)
+    sig_phi: float = math.radians(3.0)  # "sigphi" (:115)
+    lam_short: float = 0.08            # "lamshort" (:117)
+    max_range: float = 20.0            # "rangemax" (:114)
     min_range: float = 0.001
     percentage_points_in_c: float = 0.9
+    max_angle_diff_deg: float = 3.0    # "maxAngleDiff" (:118)
+    max_angle_penalty: float = 0.5     # "maxAnglePenalty" (:119, unused quirk)
 
 
 @dataclass(frozen=True)
@@ -247,23 +255,26 @@ def _robot_from_params(params: Dict[str, Any], ns: str) -> RobotConfig:
         dist_filter_max=float(_pick(params, ns, "dist_filter_max", 1.0)),
     )
     ransac = RansacConfig(
-        trials=int(_pick(params, ns, "ransac_trials", 50)),
-        eps_thresh=float(_pick(params, ns, "ransac_eps_thresh", 0.15)),
-        size_control_set=int(_pick(params, ns, "ransac_ctrlset_size", 180)),
+        trials=int(params.get("trials", 100)),
+        eps_thresh=float(params.get("epsThresh", 0.15)),
+        size_control_set=int(params.get("sizeControlSet", 140)),
         phi_max_deg=float(_pick(params, ns, "ransac_phi_max", 30.0)),
     )
     beam = BeamModelConfig(
-        zhit=float(_pick(params, ns, "zhit", 0.45)),
-        zphi=float(_pick(params, ns, "zphi", 0.0)),
-        zshort=float(_pick(params, ns, "zshort", 0.25)),
-        zmax=float(_pick(params, ns, "zmax", 0.05)),
-        zrand=float(_pick(params, ns, "zrand", 0.25)),
-        sig_hit=float(_pick(params, ns, "sig_hit", 0.2)),
-        lam_short=float(_pick(params, ns, "lam_short", 1.0)),
-        max_range=sensor.max_range,
+        zhit=float(params.get("zhit", 0.45)),
+        zphi=float(params.get("zphi", 0.0)),
+        zshort=float(params.get("zshort", 0.25)),
+        zmax=float(params.get("zmax", 0.05)),
+        zrand=float(params.get("zrand", 0.25)),
+        sig_hit=float(params.get("sighit", 0.2)),
+        sig_phi=float(params.get("sigphi", math.radians(3.0))),
+        lam_short=float(params.get("lamshort", 0.08)),
+        max_range=float(params.get("rangemax", 20.0)),
         min_range=sensor.min_range,
         percentage_points_in_c=float(
-            _pick(params, ns, "percent_points_inC", 0.9)),
+            params.get("percentagePointsInC", 0.9)),
+        max_angle_diff_deg=float(params.get("maxAngleDiff", 3.0)),
+        max_angle_penalty=float(params.get("maxAnglePenalty", 0.5)),
     )
     reg = RegistrationConfig(
         mode=RegMode(int(_pick(params, ns, "registration_mode", 0))),

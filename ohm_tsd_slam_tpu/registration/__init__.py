@@ -10,6 +10,13 @@ from ohm_tsd_slam_tpu.registration.estimators import (
     point_to_line_2d,
 )
 from ohm_tsd_slam_tpu.registration.nn import nearest_neighbors
+from ohm_tsd_slam_tpu.registration.ransac import (
+    RansacParams,
+    match_normal,
+    match_pdf,
+    match_tsd,
+)
+from ohm_tsd_slam_tpu.registration.twinpoint import match_twinpoint
 
 __all__ = [
     "IcpParams",
@@ -20,4 +27,9 @@ __all__ = [
     "closed_form_2d",
     "point_to_line_2d",
     "nearest_neighbors",
+    "RansacParams",
+    "match_normal",
+    "match_pdf",
+    "match_tsd",
+    "match_twinpoint",
 ]

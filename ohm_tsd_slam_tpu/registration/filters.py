@@ -41,6 +41,36 @@ def robot_footprint_filter(scene: jnp.ndarray, mask: jnp.ndarray,
     return mask & (d2 > radius * radius)
 
 
+def occlusion_filter(scene3d: jnp.ndarray, mask: jnp.ndarray,
+                     P: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """OcclusionFilter (OcclusionFilter.cpp:34-95): project 3D scene
+    points through the 3×4 matrix P into a width×height image and keep
+    only the nearest-z point per pixel (1e-3 z tolerance).
+
+    Vectorized z-buffer: a min-scatter over pixel indices replaces the
+    sequential insert-compare loop.  Divergence (documented): where two
+    points tie within 1e-3 the reference keeps whichever it encountered
+    in a winning order; here every point within 1e-3 of the pixel
+    minimum survives — a superset that differs only inside the
+    tolerance band.
+    """
+    x, y, z = scene3d[:, 0], scene3d[:, 1], scene3d[:, 2]
+    dw = P[2, 0] * x + P[2, 1] * y + P[2, 2] * z + P[2, 3]
+    proj_ok = (jnp.abs(dw) > 1e-12) & (z > 0)
+    du = (P[0, 0] * x + P[0, 1] * y + P[0, 2] * z + P[0, 3]) / dw
+    dv = (P[1, 0] * x + P[1, 1] * y + P[1, 2] * z + P[1, 3]) / dw
+    u = jnp.floor(du + 0.5).astype(jnp.int32)
+    v = height - 1 - jnp.floor(dv + 0.5).astype(jnp.int32)
+    in_img = (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    consider = mask & proj_ok & in_img
+
+    pix = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
+    zbuf = jnp.full((width * height,), 10e6, scene3d.dtype)
+    zbuf = zbuf.at[pix].min(jnp.where(consider, z, 10e6))
+    occluded = consider & (z - zbuf[pix] > 1e-3)
+    return mask & ~occluded
+
+
 # ---------------------------------------------------------------------------
 # Post-filters (prune pairs after NN search)
 # ---------------------------------------------------------------------------

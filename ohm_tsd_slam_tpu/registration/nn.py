@@ -48,3 +48,42 @@ def nearest_neighbors(model: jnp.ndarray, model_mask: jnp.ndarray,
     best = jnp.take_along_axis(d2, idx[:, None].astype(jnp.int64), axis=1)[:, 0]
     best = jnp.where(scene_mask, best, jnp.inf)
     return idx, best
+
+
+def projective_pairs_3d(model: jnp.ndarray, scene: jnp.ndarray,
+                        scene_mask: jnp.ndarray, P: jnp.ndarray,
+                        width: int, height: int):
+    """Projective data association (ProjectivePairAssignment.cpp:28-97):
+    model points rasterized into a width×height index image through the
+    3×4 projection P; each scene point projects to a pixel and pairs
+    with the model point stored there.
+
+    Vectorized: the model rasterization is a max-scatter (the reference's
+    sequential overwrite keeps the last-written point; `max` keeps the
+    highest index — one of the writers, deterministic).  The reference
+    treats an index-image value of 0 as "no model point" (so model point
+    0 is unmatchable — quirk replicated).
+
+    Returns (model_idx [S], dist2 [S], pair_mask [S]).
+    """
+    def project(pts):
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        dw = P[2, 0] * x + P[2, 1] * y + P[2, 2] * z + P[2, 3]
+        ok = jnp.abs(dw) > 1e-9
+        du = (P[0, 0] * x + P[0, 1] * y + P[0, 2] * z + P[0, 3]) / dw
+        dv = (P[1, 0] * x + P[1, 1] * y + P[1, 2] * z + P[1, 3]) / dw
+        u = jnp.floor(du + 0.5).astype(jnp.int32)
+        v = jnp.floor(dv + 0.5).astype(jnp.int32)
+        inb = (u >= 0) & (v >= 0) & (u < width) & (v < height)
+        pix = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
+        return pix, ok & inb
+
+    m_pix, m_ok = project(model)
+    img = jnp.zeros((width * height,), jnp.int32)
+    img = img.at[m_pix].max(jnp.where(m_ok, jnp.arange(model.shape[0]), 0))
+
+    s_pix, s_ok = project(scene)
+    idx_m = img[s_pix]
+    pair = scene_mask & s_ok & (idx_m != 0)
+    d2 = jnp.sum((scene - model[idx_m]) ** 2, axis=1)
+    return idx_m, jnp.where(pair, d2, jnp.inf), pair

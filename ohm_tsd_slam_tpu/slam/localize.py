@@ -27,12 +27,22 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ohm_tsd_slam_tpu.config import RegistrationConfig, RegMode
+from ohm_tsd_slam_tpu.config import (
+    BeamModelConfig,
+    RegistrationConfig,
+    RegMode,
+)
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.raycast import raycast
 from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
 from ohm_tsd_slam_tpu.registration.icp import IcpParams, icp
+from ohm_tsd_slam_tpu.registration.ransac import (
+    RansacParams,
+    match_normal,
+    match_pdf,
+    match_tsd,
+)
 from ohm_tsd_slam_tpu.sensor.polar2d import (
     SensorPolar2D,
     data_to_cartesian,
@@ -97,6 +107,9 @@ class LocalizeParams:
     # splat+refine renderer (grid/raycast_fast.py) instead of the dense
     # march — same model points on >98% of beams, ~10x faster on TPU
     fast_raycast: bool = True
+    # RANSAC pre-registration parameters (modes EXP/PDF/TSD)
+    ransac: Optional[RansacParams] = None
+    beam: Optional[BeamModelConfig] = None
 
     @staticmethod
     def from_config(reg: RegistrationConfig, geom: SensorPolar2D,
@@ -109,13 +122,16 @@ class LocalizeParams:
             rot_max=reg.rot_thresh,
             trns_min=reg.trns_min,
             rot_min=reg.rot_min,
+            ransac=RansacParams.from_config(reg.ransac, geom.angular_res),
+            beam=reg.beam_model,
         )
 
 
 def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
                   data: jnp.ndarray, mask: jnp.ndarray,
                   params: LocalizeParams,
-                  T_prereg: Optional[jnp.ndarray] = None) -> LocalizeResult:
+                  T_prereg: Optional[jnp.ndarray] = None,
+                  key: Optional[jax.Array] = None) -> LocalizeResult:
     """One localization cycle (the body of ThreadLocalize::eventLoop,
     ThreadLocalize.cpp:310-409).
 
@@ -125,8 +141,10 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
       last_pose: pose at the last map update (significance reference).
       data, mask: masked scan (after standard_mask/clamp).
       params: static parameters.
-      T_prereg: optional externally computed RANSAC seed (3,3); the
-        matchers in registration.ransac produce it for EXP/PDF/TSD modes.
+      T_prereg: optional externally computed RANSAC seed (3,3); overrides
+        the built-in matcher dispatch.
+      key: PRNG key for the RANSAC matchers (modes EXP/PDF/TSD;
+        doRegistration dispatch, ThreadLocalize.cpp:530-568).
     """
     geom = params.geom
 
@@ -137,9 +155,24 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
     # scene (Sensor::dataToCartesianVectorMask)
     scene, scene_mask = data_to_cartesian(geom, data, mask)
 
-    # registration: optional pre-match seed + ICP refinement
-    T_init = T_prereg if T_prereg is not None else jnp.eye(
-        3, dtype=scene.dtype)
+    # registration: RANSAC pre-match seed + ICP refinement
+    if T_prereg is not None:
+        T_init = T_prereg
+    elif params.mode != int(RegMode.ICP):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if params.mode == int(RegMode.EXP):
+            T_init = match_normal(key, model.coords, model.mask,
+                                  scene, scene_mask, params.ransac)
+        elif params.mode == int(RegMode.PDF):
+            T_init = match_pdf(key, model.coords, model.mask,
+                               scene, scene_mask, params.ransac,
+                               params.beam)
+        else:
+            T_init = match_tsd(key, grid, pose, model.coords, model.mask,
+                               scene, scene_mask, params.ransac)
+    else:
+        T_init = jnp.eye(3, dtype=scene.dtype)
     icp_res = icp(model.coords, model.mask, scene, scene_mask,
                   params.icp, T_init=T_init, sensor_pose=pose)
     T = icp_res.T

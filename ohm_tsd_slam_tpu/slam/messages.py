@@ -80,3 +80,43 @@ class ImageMsg:
     data: np.ndarray            # [H, W, 3] uint8
     stamp: float = 0.0
     frame_id: str = "map"
+
+
+# ---------------------------------------------------------------------------
+# Wire codec for the native channels (ohm_tsd_slam_tpu.native.Channel)
+# ---------------------------------------------------------------------------
+
+_SCAN_HEADER = np.dtype([
+    ("stamp", np.float64),
+    ("angle_min", np.float64),
+    ("angle_increment", np.float64),
+    ("range_max", np.float64),
+    ("n", np.int64),
+])
+
+
+def pack_scan(scan: LaserScan) -> bytes:
+    """Serialize a LaserScan for the native latest-wins channel."""
+    ranges = np.ascontiguousarray(scan.ranges, dtype=np.float32)
+    head = np.zeros((), dtype=_SCAN_HEADER)
+    head["stamp"] = scan.stamp
+    head["angle_min"] = scan.angle_min
+    head["angle_increment"] = scan.angle_increment
+    head["range_max"] = scan.range_max
+    head["n"] = ranges.shape[0]
+    return head.tobytes() + ranges.tobytes()
+
+
+def unpack_scan(payload: bytes) -> LaserScan:
+    head = np.frombuffer(payload[:_SCAN_HEADER.itemsize],
+                         dtype=_SCAN_HEADER)[0]
+    n = int(head["n"])
+    ranges = np.frombuffer(payload[_SCAN_HEADER.itemsize:],
+                           dtype=np.float32, count=n)
+    return LaserScan(
+        ranges=ranges,
+        angle_min=float(head["angle_min"]),
+        angle_increment=float(head["angle_increment"]),
+        range_max=float(head["range_max"]),
+        stamp=float(head["stamp"]),
+    )

@@ -36,8 +36,14 @@ from ohm_tsd_slam_tpu.slam.localize import (
     calc_angle_02pi,
     localize_step_jit,
 )
+from ohm_tsd_slam_tpu import native
 from ohm_tsd_slam_tpu.slam.mapping import Mapper
-from ohm_tsd_slam_tpu.slam.messages import LaserScan, PoseStamped
+from ohm_tsd_slam_tpu.slam.messages import (
+    LaserScan,
+    PoseStamped,
+    pack_scan,
+    unpack_scan,
+)
 from ohm_tsd_slam_tpu.sensor.polar2d import (
     SensorPolar2D,
     clamp_min_range,
@@ -58,10 +64,11 @@ class Localizer:
     last_pose: Optional[jnp.ndarray] = None
     reverse_scan: bool = False
     initialized: bool = False
-    # latest-wins scan slot (threaded mode)
-    scan_slot: Optional[LaserScan] = None
-    slot_lock: threading.Lock = field(default_factory=threading.Lock)
-    wakeup: threading.Event = field(default_factory=threading.Event)
+    # latest-wins scan channel (threaded mode): the native C++ mailbox
+    # (ohm_tsd_slam_tpu/native) replicating the reference's mutex-guarded
+    # keep-newest deque + condition variable (ThreadLocalize.cpp:269-332)
+    scan_channel: native.Channel = field(
+        default_factory=lambda: native.Channel(native.MAILBOX))
     last_result: Optional[PoseStamped] = None
 
 
@@ -236,21 +243,17 @@ class SlamNode:
         if not loc.initialized:
             self._init_localizer(loc, scan)
             return
-        with loc.slot_lock:
-            loc.scan_slot = scan
-        loc.wakeup.set()
+        loc.scan_channel.push(pack_scan(scan))
 
     def _localizer_loop(self, robot: int) -> None:
         loc = self.localizers[robot]
         while not self._stop.is_set():
-            if not loc.wakeup.wait(timeout=0.1):
+            payload = loc.scan_channel.pop_wait(timeout_ms=100)
+            if payload is None:
                 continue
-            loc.wakeup.clear()
-            with loc.slot_lock:
-                scan = loc.scan_slot
-                loc.scan_slot = None     # keep-newest, drop the rest
-            if scan is not None and self._active:
-                self.process_scan(robot, scan, drain_mapper=False)
+            if self._active:
+                self.process_scan(robot, unpack_scan(payload),
+                                  drain_mapper=False)
                 self._mapper_wakeup.set()
 
     def _mapper_loop(self) -> None:
