@@ -23,6 +23,10 @@ class RegMode(enum.IntEnum):
     EXP = 1  # RandomNormalMatching pre-registration + ICP
     PDF = 2  # PDFMatching pre-registration + ICP
     TSD = 3  # TSD_PDFMatching pre-registration + ICP
+    # TPU-native extension (no reference analogue): direct scan-to-map
+    # Gauss-Newton on the TSD field — no raycast, no NN search
+    # (registration/gauss_newton.py).
+    GN = 4
 
 
 @dataclass(frozen=True)

@@ -9,6 +9,12 @@ from ohm_tsd_slam_tpu.registration.estimators import (
     closed_form_2d,
     point_to_line_2d,
 )
+from ohm_tsd_slam_tpu.registration.gauss_newton import (
+    GnParams,
+    GnResult,
+    match_gauss_newton,
+    match_gauss_newton_jit,
+)
 from ohm_tsd_slam_tpu.registration.nn import nearest_neighbors
 from ohm_tsd_slam_tpu.registration.ransac import (
     RansacParams,
@@ -26,6 +32,10 @@ __all__ = [
     "icp_jit",
     "closed_form_2d",
     "point_to_line_2d",
+    "GnParams",
+    "GnResult",
+    "match_gauss_newton",
+    "match_gauss_newton_jit",
     "nearest_neighbors",
     "RansacParams",
     "match_normal",

@@ -36,6 +36,10 @@ from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.raycast import raycast
 from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
+from ohm_tsd_slam_tpu.registration.gauss_newton import (
+    GnParams,
+    match_gauss_newton,
+)
 from ohm_tsd_slam_tpu.registration.icp import IcpParams, icp
 from ohm_tsd_slam_tpu.registration.ransac import (
     RansacParams,
@@ -110,6 +114,8 @@ class LocalizeParams:
     # RANSAC pre-registration parameters (modes EXP/PDF/TSD)
     ransac: Optional[RansacParams] = None
     beam: Optional[BeamModelConfig] = None
+    # direct Gauss-Newton matcher (mode GN)
+    gn: GnParams = GnParams()
 
     @staticmethod
     def from_config(reg: RegistrationConfig, geom: SensorPolar2D,
@@ -148,12 +154,36 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
     """
     geom = params.geom
 
+    # scene (Sensor::dataToCartesianVectorMask)
+    scene, scene_mask = data_to_cartesian(geom, data, mask)
+
+    # Mode GN: direct scan-to-map Gauss-Newton against the TSD field —
+    # needs neither the rendered model scan nor NN pairing, so the whole
+    # raycast stage is skipped (TPU-native extension, RegMode.GN).
+    if params.mode == int(RegMode.GN) and T_prereg is None:
+        gn_res = match_gauss_newton(grid, pose, scene, scene_mask,
+                                    params.gn)
+        T = gn_res.T
+        reg_ok = gn_res.matches >= params.gn.min_matches
+        err = is_registration_error(T, params.trns_max, params.rot_max)
+        err = err | ~reg_ok
+        new_pose = jnp.where(err, pose, pose @ T)
+        significant = (~err) & is_pose_change_significant(
+            last_pose, new_pose, params.trns_min, params.rot_min)
+        return LocalizeResult(
+            pose=new_pose,
+            T=T,
+            reg_error=err,
+            significant=significant,
+            model_valid=gn_res.matches,
+            scene_valid=jnp.sum(scene_mask),
+            rms=gn_res.rms,
+            icp_iterations=gn_res.iterations,
+        )
+
     # model rendering (reference raycast, beam-aligned masked outputs)
     render = raycast_fast if params.fast_raycast else raycast
     model = render(grid, geom, pose)
-
-    # scene (Sensor::dataToCartesianVectorMask)
-    scene, scene_mask = data_to_cartesian(geom, data, mask)
 
     # registration: RANSAC pre-match seed + ICP refinement
     if T_prereg is not None:
