@@ -70,12 +70,21 @@ def main():
 
     @jax.jit
     def ray_chain(grid, pose):
-        def body(i, acc):
+        import dataclasses as _dc
+
+        def body(i, carry):
+            acc, tsd = carry
             d = (i.astype(jnp.float32) - N_CHAIN / 2) * 1e-4
             p = pose @ se2.make(d, -d, d, dtype=pose.dtype)
-            r = raycast_fast(grid, geom, p)
-            return acc + jnp.sum(r.ranges)
-        return jax.lax.fori_loop(0, N_CHAIN, body, 0.0)
+            # touch the grid each iteration so per-scan work (crossing
+            # extraction) cannot be CSE-hoisted out of the loop — the
+            # SLAM loop interleaves push and raycast, so the honest
+            # per-scan cost includes it
+            tsd = tsd.at[0, 0].add(d * 1e-30)
+            r = raycast_fast(_dc.replace(grid, tsd=tsd), geom, p)
+            return acc + jnp.sum(r.ranges), tsd
+        acc, _ = jax.lax.fori_loop(0, N_CHAIN, body, (0.0, grid.tsd))
+        return acc
 
     t0 = time.time()
     ray_chain(grid, pose).block_until_ready()
@@ -91,19 +100,40 @@ def main():
     rays_per_s = B / t_ray
     log(f"raycast: {t_ray*1e3:.3f} ms/scan -> {rays_per_s:,.0f} rays/s")
 
-    # ---- diagnostics: push/s and full scan-match steps/s --------------
-    @jax.jit
-    def push_once(grid):
-        return push(grid, geom, pose, data, mask)
+    # ---- diagnostics: push/s (jnp + Pallas) ----------------------------
+    from ohm_tsd_slam_tpu.grid.dispatch import best_push
 
-    push_once(grid).tsd.block_until_ready()
+    for name, push_fn in (("jnp", push), ("best", best_push(grid))):
+        step_push = jax.jit(lambda g, f=push_fn: f(g, geom, pose, data, mask))
+        step_push(grid).tsd.block_until_ready()
+        t0 = time.time()
+        for _ in range(20):
+            g2 = step_push(grid)
+        jax.block_until_ready(g2.tsd)
+        dt = (time.time() - t0) / 20
+        log(f"push[{name}]: {dt*1e3:.2f} ms -> {1/dt:,.1f} pushes/s")
+
+    # ---- diagnostics: differentiable render fwd+bwd rays/s -------------
+    from ohm_tsd_slam_tpu.grid.render import render_ranges
+
+    import dataclasses as _dc
+
+    def render_loss(tsd, p):
+        g = _dc.replace(grid, tsd=tsd)
+        r, _, _ = render_ranges(g, geom, p)
+        return jnp.sum(r)
+
+    grad_fn = jax.jit(jax.grad(render_loss, argnums=(0, 1)))
+    dg, dp = grad_fn(grid.tsd, pose)
+    jax.block_until_ready(dp)
     t0 = time.time()
-    for _ in range(5):
-        g2 = push_once(grid)
-    jax.block_until_ready(g2.tsd)
-    log(f"push: {(time.time()-t0)/5*1e3:.2f} ms -> "
-        f"{5/(time.time()-t0):,.1f} pushes/s")
+    for _ in range(10):
+        dg, dp = grad_fn(grid.tsd, pose)
+    jax.block_until_ready(dp)
+    dt = (time.time() - t0) / 10
+    log(f"render fwd+bwd: {dt*1e3:.2f} ms -> {B/dt:,.0f} rays/s (fwd+bwd)")
 
+    # ---- diagnostics: scan-match steps/s (ICP and direct GN) -----------
     params = LocalizeParams(
         geom=geom, icp=IcpParams(iterations=25, bounds=(0., gw, 0., gw)))
     step = jax.jit(lambda g, p, d, m: localize_step(g, p, p, d, m, params))
@@ -114,8 +144,26 @@ def main():
         out = step(grid, pose, data, mask)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / 5
-    log(f"localize_step: {dt*1e3:.2f} ms -> {1/dt:,.1f} scan-matches/s "
+    log(f"localize_step[icp]: {dt*1e3:.2f} ms -> {1/dt:,.1f} scan-matches/s "
         f"({25/dt:,.0f} ICP iters/s)")
+
+    from ohm_tsd_slam_tpu.config import RegMode
+    from ohm_tsd_slam_tpu.registration.gauss_newton import GnParams
+
+    params_gn = LocalizeParams(
+        geom=geom, icp=params.icp, mode=int(RegMode.GN),
+        gn=GnParams(iterations=30))
+    step_gn = jax.jit(
+        lambda g, p, d, m: localize_step(g, p, p, d, m, params_gn))
+    out = step_gn(grid, pose, data, mask)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(20):
+        out = step_gn(grid, pose, data, mask)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / 20
+    log(f"localize_step[gn]: {dt*1e3:.2f} ms -> {1/dt:,.1f} scan-matches/s "
+        f"({30/dt:,.0f} GN iters/s)")
 
     print(json.dumps({
         "metric": "raycast_rays_per_sec_chip",

@@ -18,6 +18,18 @@ scanners on a truncated-signed-distance (TSD) grid, with
   * multi-chip scale-out via jax.sharding over rays and grid tiles.
 """
 
+import jax as _jax
+
+# Geometry everywhere in this library flows through small f32 matmuls
+# (3x3 pose composes, Nx2 point transforms, RANSAC control-set products).
+# On TPU the MXU executes f32 matmuls at bf16-pass precision by default,
+# which costs ~3 decimal digits on world coordinates — enough to shift
+# back-projected beam indices by whole bins (observed: 40% of cells on a
+# 1024^2 grid).  Pin the default to full f32.  Deliberately-fast bf16
+# matmuls (e.g. the raycast splat) cast their inputs explicitly and are
+# unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from ohm_tsd_slam_tpu.version import __version__
 
 __all__ = ["__version__"]

@@ -51,14 +51,13 @@ def angle(T: jnp.ndarray) -> jnp.ndarray:
 
 
 def invert(T: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form SE(2) inverse: [Rᵀ, -Rᵀ t]."""
-    R = T[:2, :2]
-    t = T[:2, 2]
-    Rt = R.T
-    ti = -Rt @ t
-    top = jnp.concatenate([Rt, ti[:, None]], axis=1)
-    bottom = jnp.array([[0.0, 0.0, 1.0]], T.dtype)
-    return jnp.concatenate([top, bottom], axis=0)
+    """Closed-form SE(2) inverse: [Rᵀ, -Rᵀ t] (elementwise; exact f32)."""
+    tix = -(T[0, 0] * T[0, 2] + T[1, 0] * T[1, 2])
+    tiy = -(T[0, 1] * T[0, 2] + T[1, 1] * T[1, 2])
+    row0 = jnp.stack([T[0, 0], T[1, 0], tix])
+    row1 = jnp.stack([T[0, 1], T[1, 1], tiy])
+    row2 = jnp.array([0.0, 0.0, 1.0], T.dtype)
+    return jnp.stack([row0, row1, row2]).astype(T.dtype)
 
 
 def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -66,13 +65,29 @@ def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 
 
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """Apply T to an (N, 2) point array (rotate + translate)."""
-    return pts @ T[:2, :2].T + T[:2, 2]
+    """Apply T to an (..., 2) point array (rotate + translate).
+
+    Written elementwise rather than as ``pts @ R.T``: on TPU a tiny
+    [N,2]x[2,2] f32 matmul is routed to the MXU at default (bf16-pass)
+    precision, which costs ~3 decimal digits on world coordinates — enough
+    to shift back-projected beam indices and raycast sample positions.
+    The VPU elementwise form is exact f32 and faster for K=2.
+    """
+    x = pts[..., 0]
+    y = pts[..., 1]
+    out_x = T[0, 0] * x + T[0, 1] * y + T[0, 2]
+    out_y = T[1, 0] * x + T[1, 1] * y + T[1, 2]
+    return jnp.stack([out_x, out_y], axis=-1)
 
 
 def rotate_vectors(T: jnp.ndarray, vecs: jnp.ndarray) -> jnp.ndarray:
-    """Apply only the rotation of T to an (N, 2) vector array (normals)."""
-    return vecs @ T[:2, :2].T
+    """Apply only the rotation of T to an (..., 2) vector array (normals).
+    Elementwise for exact f32 on TPU (see transform_points)."""
+    x = vecs[..., 0]
+    y = vecs[..., 1]
+    out_x = T[0, 0] * x + T[0, 1] * y
+    out_y = T[1, 0] * x + T[1, 1] * y
+    return jnp.stack([out_x, out_y], axis=-1)
 
 
 def embed44(T3: jnp.ndarray) -> jnp.ndarray:

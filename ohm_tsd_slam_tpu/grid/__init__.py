@@ -3,7 +3,9 @@ from ohm_tsd_slam_tpu.grid.interpolate import (
     interpolate_bilinear,
     interpolate_normal,
 )
+from ohm_tsd_slam_tpu.grid.dispatch import best_push
 from ohm_tsd_slam_tpu.grid.push import push, push_jit
+from ohm_tsd_slam_tpu.grid.render import render_ranges, render_ranges_jit
 from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, raycast, raycast_jit
 
 __all__ = [
@@ -12,8 +14,11 @@ __all__ = [
     "free_footprint",
     "interpolate_bilinear",
     "interpolate_normal",
+    "best_push",
     "push",
     "push_jit",
+    "render_ranges",
+    "render_ranges_jit",
     "RaycastResult",
     "raycast",
     "raycast_jit",

@@ -69,7 +69,7 @@ def raycast(grid: TsdGrid, geom: SensorPolar2D,
     B = geom.size
 
     rays_local = geom.rays_local(dtype)                  # [B, 2] unit
-    rays_world = rays_local @ pose[:2, :2].T.astype(dtype)
+    rays_world = se2.rotate_vectors(pose.astype(dtype), rays_local)
     ray = rays_world * s                                 # 1 cell per step
     tr = se2.translation(pose).astype(dtype)
 

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.grid.compact import compact_mask
 from ohm_tsd_slam_tpu.grid.interpolate import (
     INTERPOLATE_SUCCESS,
     interpolate_bilinear,
@@ -73,15 +74,18 @@ def _crossing_points(grid: TsdGrid):
     ev_v = ((a_v > 0) & (b_v < 0)) | ((a_v < 0) & (b_v > 0))
     interp_v = a_v / (a_v - b_v)
 
-    # pad the pair grids back to [H, W] so one nonzero covers both
+    # pad the pair grids back to [H, W] so one compaction covers both;
+    # compact_mask is the scatter-free jnp.nonzero replacement (TPU's
+    # serial scatter made nonzero cost ~21 ms on a 1024^2 grid)
     ev = jnp.stack([
         jnp.pad(ev_h, ((0, 0), (0, 1))),
         jnp.pad(ev_v, ((0, 1), (0, 0))),
     ])
-    which, iy, ix = jnp.nonzero(ev, size=MAX_CROSSINGS, fill_value=-1)
-    valid = iy >= 0
-    iyc = jnp.maximum(iy, 0)
-    ixc = jnp.maximum(ix, 0)
+    flat_idx, valid = compact_mask(ev.reshape(-1), MAX_CROSSINGS)
+    which = flat_idx // (H * W)
+    rem = flat_idx - which * (H * W)
+    iyc = rem // W
+    ixc = rem - iyc * W
 
     f_h = interp_h[iyc, jnp.clip(ixc, 0, W - 2)]
     f_v = interp_v[jnp.clip(iyc, 0, H - 2), ixc]
@@ -105,7 +109,7 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     Bp = ((B + 127) // 128) * 128
 
     rays_local = geom.rays_local(dtype)
-    rays_world = rays_local @ pose[:2, :2].T.astype(dtype)
+    rays_world = se2.rotate_vectors(pose.astype(dtype), rays_local)
     ray = rays_world * s
     tr = se2.translation(pose).astype(dtype)
 
@@ -134,7 +138,11 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     r_c = jnp.linalg.norm(rel, axis=-1)                 # meters
     t_c = r_c / s                                       # steps
     # local beam angle exactly as backProject: atan2 in the sensor frame
-    rel_local = rel @ pose[:2, :2].astype(dtype)        # R^T applied
+    # R^T applied elementwise (exact f32; see se2.transform_points note)
+    Rp = pose.astype(dtype)
+    rel_local = jnp.stack([Rp[0, 0] * rel[:, 0] + Rp[1, 0] * rel[:, 1],
+                           Rp[0, 1] * rel[:, 0] + Rp[1, 1] * rel[:, 1]],
+                          axis=-1)
     phi_local = jnp.arctan2(rel_local[:, 1], rel_local[:, 0])
     u = (phi_local - geom.phi_min) / geom.angular_res
 

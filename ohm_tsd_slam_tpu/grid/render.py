@@ -47,6 +47,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, raycast
 from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
@@ -107,7 +108,8 @@ def _ift_ranges(geom: SensorPolar2D, cell_size: float, tsd: jnp.ndarray,
 def _phi_at(geom: SensorPolar2D, cell_size: float, tsd: jnp.ndarray,
             pose: jnp.ndarray, r: jnp.ndarray):
     """Phi(o(pose) + r * d(pose); tsd) per beam, with validity."""
-    dirs = geom.rays_local(tsd.dtype) @ pose[:2, :2].T.astype(tsd.dtype)
+    dirs = se2.rotate_vectors(pose.astype(tsd.dtype),
+                              geom.rays_local(tsd.dtype))
     x = pose[:2, 2].astype(tsd.dtype) + r[:, None] * dirs
     return _bilinear_raw(tsd, x, cell_size)
 

@@ -82,7 +82,9 @@ class SlamNode:
         # no update is lost, without blocking readers during the compute.
         self._grid_lock = threading.Lock()
         self._write_lock = threading.Lock()
-        self.mapper = Mapper()
+        # Pallas push kernel on TPU when the layout supports it
+        from ohm_tsd_slam_tpu.grid.dispatch import best_push
+        self.mapper = Mapper(push_fn=best_push(self.grid))
         self.grid_pub = GridPublisher(config.grid_pub,
                                       config.runtime.x_offset,
                                       config.runtime.y_offset)

@@ -6,6 +6,10 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Skip the axon TPU-tunnel plugin registration entirely (sitecustomize
+# keys on this): a partially-registered plugin leaves the MLIR "tpu"
+# platform unknown, which breaks Pallas/checkify imports on CPU.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,8 +26,11 @@ jax.config.update("jax_platforms", "cpu")
 try:  # pragma: no cover - environment-specific
     from jax._src import xla_bridge
 
+    # Keep "tpu" registered (never initialized under JAX_PLATFORMS=cpu):
+    # popping it removes "tpu" from the known MLIR platforms and breaks
+    # Pallas/checkify imports even for interpret-mode tests.
     for _name in list(xla_bridge._backend_factories):
-        if _name != "cpu":
+        if _name not in ("cpu", "tpu"):
             xla_bridge._backend_factories.pop(_name, None)
 except Exception:
     pass
