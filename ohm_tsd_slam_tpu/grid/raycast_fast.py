@@ -10,13 +10,14 @@ matmul, leaving only O(beams) gathers:
      densely over the whole grid (pure element-wise; every bilinear
      zero-crossing along any ray lies in a cell quad with mixed-sign
      corners, so every possible march event is covered);
-  2. compaction of the ~10-50k crossing pairs to a fixed-size list
-     (jnp.nonzero with static size);
-  3. splat: each crossing votes into a presence matrix P[beam, step-bin]
-     for the beams within its angular band (band half-width grows as
-     1.5 cells / range, covering beam quantization near the sensor) —
-     one banded-one-hot [C,B]ᵀ @ [C,K] bf16 matmul on the MXU;
-  4. per beam, the first flagged bin (argmax) gives a candidate step;
+  2. butterfly compaction of the ~10-50k crossing pairs to a fixed-size
+     list (scatter-free jnp.nonzero replacement; the interpolation
+     fraction rides along as a value channel);
+  3. per-beam candidate: a masked min-reduction over the
+     [crossings, beams] grid picks each beam's earliest in-band,
+     in-clip-window crossing (band half-width grows as 1.5 cells /
+     range, covering beam quantization near the sensor);
+  4. the candidate step seeds a window where
      the EXACT march of RayCastPolar2D.cpp:237-270 (bilinear taps at
      idx_min + integer steps, +→− hit, −→+ back-face reject, NaN skip)
      is then replayed over a ±WINDOW-step window around the candidate —
@@ -39,13 +40,13 @@ import jax
 import jax.numpy as jnp
 
 from ohm_tsd_slam_tpu.core import se2
-from ohm_tsd_slam_tpu.grid.compact import compact_mask
+from ohm_tsd_slam_tpu.grid.compact import compact_mask_values
 from ohm_tsd_slam_tpu.grid.interpolate import (
     INTERPOLATE_SUCCESS,
     interpolate_bilinear,
     interpolate_normal,
 )
-from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, _num_steps
+from ohm_tsd_slam_tpu.grid.raycast import RaycastResult
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
 from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D
 
@@ -58,7 +59,7 @@ WINDOW = 12          # refine samples; candidate sits ~1/3 in
 def _crossing_points(grid: TsdGrid):
     """Dense H/V adjacent-cell sign changes -> compacted world points.
 
-    Returns (points [C,2], count, valid [C]).
+    Returns (points [C,2], valid [C]).
     """
     s = grid.cell_size
     tsd = grid.tsd
@@ -75,29 +76,30 @@ def _crossing_points(grid: TsdGrid):
     interp_v = a_v / (a_v - b_v)
 
     # pad the pair grids back to [H, W] so one compaction covers both;
-    # compact_mask is the scatter-free jnp.nonzero replacement (TPU's
-    # serial scatter made nonzero cost ~21 ms on a 1024^2 grid)
+    # compact_mask_values is the scatter-free jnp.nonzero replacement
+    # (TPU's serial scatter made nonzero cost ~21 ms on a 1024^2 grid);
+    # the interpolation fractions ride through the compaction as a value
+    # channel, avoiding two more 32k-element gathers afterwards
     ev = jnp.stack([
         jnp.pad(ev_h, ((0, 0), (0, 1))),
         jnp.pad(ev_v, ((0, 1), (0, 0))),
     ])
-    flat_idx, valid = compact_mask(ev.reshape(-1), MAX_CROSSINGS)
+    interp = jnp.stack([
+        jnp.pad(interp_h, ((0, 0), (0, 1))),
+        jnp.pad(interp_v, ((0, 1), (0, 0))),
+    ])
+    flat_idx, f, valid = compact_mask_values(
+        ev.reshape(-1), interp.reshape(-1), MAX_CROSSINGS)
     which = flat_idx // (H * W)
     rem = flat_idx - which * (H * W)
     iyc = rem // W
     ixc = rem - iyc * W
 
-    f_h = interp_h[iyc, jnp.clip(ixc, 0, W - 2)]
-    f_v = interp_v[jnp.clip(iyc, 0, H - 2), ixc]
-
     # crossing between cell centers (i+0.5)s and (i+1.5)s
-    x_h = (ixc.astype(tsd.dtype) + 0.5 + f_h) * s
-    y_h = (iyc.astype(tsd.dtype) + 0.5) * s
-    x_v = (ixc.astype(tsd.dtype) + 0.5) * s
-    y_v = (iyc.astype(tsd.dtype) + 0.5 + f_v) * s
-
-    px = jnp.where(which == 0, x_h, x_v)
-    py = jnp.where(which == 0, y_h, y_v)
+    is_h = which == 0
+    f = jnp.where(valid, f, 0.0)
+    px = (ixc.astype(tsd.dtype) + 0.5 + jnp.where(is_h, f, 0.0)) * s
+    py = (iyc.astype(tsd.dtype) + 0.5 + jnp.where(is_h, 0.0, f)) * s
     return jnp.stack([px, py], axis=-1), valid
 
 
@@ -148,23 +150,23 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
 
     band = jnp.maximum(1.0, 1.5 / jnp.maximum(t_c, 1.0)
                        / geom.angular_res * 1.0)
-    K = _num_steps(geom, grid)
-    Kp = ((K + 127) // 128) * 128
 
+    # earliest in-band crossing per beam: one masked min-reduction over
+    # the [crossings, beams] grid (cheaper and exact, vs the previous
+    # banded-one-hot MXU splat which quantized t into unit bins and
+    # needed a [C,K] second operand)
     bgrid = jnp.arange(Bp, dtype=dtype)
-    tgrid = jnp.arange(Kp, dtype=dtype)
-    A = ((jnp.abs(u[:, None] - bgrid[None, :]) <= band[:, None])
-         & cvalid[:, None]).astype(jnp.bfloat16)
-    T = (jnp.abs(t_c[:, None] - tgrid[None, :]) <= 1.0).astype(jnp.bfloat16)
-    P = jax.lax.dot_general(A, T, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    P = P[:B, :]
-
-    step_ok = ((tgrid[None, :] >= jnp.floor(idx_min)[:, None] - 1)
-               & (tgrid[None, :] <= jnp.ceil(idx_max)[:, None] + 1))
-    Pm = (P > 0) & step_ok
-    has_cand = jnp.any(Pm, axis=1) & feasible
-    k_cand = jnp.argmax(Pm, axis=1).astype(dtype)
+    pad_b = Bp - B
+    lo = jnp.pad(jnp.floor(idx_min) - 1.0, (0, pad_b))
+    hi = jnp.pad(jnp.ceil(idx_max) + 1.0, (0, pad_b))
+    ok = ((jnp.abs(u[:, None] - bgrid[None, :]) <= band[:, None])
+          & cvalid[:, None]
+          & (t_c[:, None] >= lo[None, :])
+          & (t_c[:, None] <= hi[None, :]))
+    big = jnp.asarray(jnp.inf, dtype)
+    t_first = jnp.min(jnp.where(ok, t_c[:, None], big), axis=0)[:B]
+    has_cand = jnp.isfinite(t_first) & feasible
+    k_cand = jnp.where(has_cand, t_first, 0.0)
 
     # ---- exact window refine (replays RayCastPolar2D.cpp:237-270) ------
     m_start = jnp.maximum(jnp.floor(k_cand - idx_min) - 4.0, 0.0)
