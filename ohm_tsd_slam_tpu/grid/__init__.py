@@ -4,7 +4,7 @@ from ohm_tsd_slam_tpu.grid.interpolate import (
     interpolate_normal,
 )
 from ohm_tsd_slam_tpu.grid.dispatch import best_push
-from ohm_tsd_slam_tpu.grid.push import push, push_jit
+from ohm_tsd_slam_tpu.grid.push import push, push_jit, push_tree, push_tree_jit
 from ohm_tsd_slam_tpu.grid.render import render_ranges, render_ranges_jit
 from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, raycast, raycast_jit
 
@@ -17,6 +17,8 @@ __all__ = [
     "best_push",
     "push",
     "push_jit",
+    "push_tree",
+    "push_tree_jit",
     "render_ranges",
     "render_ranges_jit",
     "RaycastResult",

@@ -27,6 +27,7 @@ Everything is jit-compatible; `push` is a pure function
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Tuple
 
@@ -130,7 +131,8 @@ def _expand_tiles(grid: TsdGrid, tile_arr: jnp.ndarray) -> jnp.ndarray:
 
 
 def push(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
-         data: jnp.ndarray, mask: jnp.ndarray) -> TsdGrid:
+         data: jnp.ndarray, mask: jnp.ndarray,
+         tile_gate: jnp.ndarray | None = None) -> TsdGrid:
     """Fuse one masked polar scan into the grid (TsdGrid::push).
 
     Args:
@@ -139,6 +141,8 @@ def push(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
       pose: (3,3) sensor pose in world frame.
       data: (B,) ranges (inf = no return; see standard_mask).
       mask: (B,) validity mask.
+      tile_gate: optional [TY, TX] bool pre-cull mask; tiles outside it
+        take no part in the update (used by push_tree's quadtree gate).
     Returns:
       updated grid.
     """
@@ -148,6 +152,9 @@ def push(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
     trunc = jnp.asarray(grid.max_truncation, dtype)
 
     touch, empty_inc, part_weight = tile_cull(grid, geom, pose, data, mask)
+    if tile_gate is not None:
+        touch = touch & tile_gate
+        empty_inc = empty_inc & tile_gate
 
     # ---- materialize newly-initialized tiles (TsdGridPartition::init) ----
     newly_init = touch & ~grid.tile_init
@@ -226,4 +233,68 @@ def push(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
     )
 
 
+def branch_gate(grid: TsdGrid, geom: SensorPolar2D,
+                pose: jnp.ndarray) -> jnp.ndarray:
+    """Quadtree branch-level range-window culling, vectorized per level.
+
+    Replicates the pushRecursion descent (TsdGrid.cpp:357-370): a leaf is
+    tested only if every ancestor branch passes the range-window part of
+    TsdGridComponent::isInRange (TsdGridComponent.cpp:46-58; branches
+    never run the leaf beam-span test).  Branch geometry follows
+    TsdGridBranch (TsdGridBranch.cpp:42-71): centroid = mean of child
+    centroids, circumradius doubles per level.
+
+    Returns a [TY, TX] bool mask: leaves whose ancestor chain survives.
+    """
+    dtype = grid.tsd.dtype
+    p = grid.tile_dim
+    s = grid.cell_size
+    tr = se2.translation(pose).astype(dtype)
+    trunc = jnp.asarray(grid.max_truncation, dtype)
+    r_leaf = math.sqrt(2.0) * (p * s) * 0.5
+
+    gate = jnp.ones((grid.tiles_y, grid.tiles_x), dtype=bool)
+    blk = 2  # tiles per block side at this level (2^level)
+    while blk <= grid.tiles_x and blk <= grid.tiles_y \
+            and grid.tiles_x % blk == 0 and grid.tiles_y % blk == 0:
+        nbx = grid.tiles_x // blk
+        nby = grid.tiles_y // blk
+        # mean of the block's leaf centroids; leaf centroid of tile j is
+        # (j*p + (p+1)/2)*s (TsdGridPartition.cpp:65-70)
+        cx = (jnp.arange(nbx, dtype=dtype) * (blk * p)
+              + (blk - 1) * p * 0.5 + (p + 1) * 0.5) * s
+        cy = (jnp.arange(nby, dtype=dtype) * (blk * p)
+              + (blk - 1) * p * 0.5 + (p + 1) * 0.5) * s
+        centroid = jnp.stack(
+            jnp.broadcast_arrays(cx[None, :], cy[:, None]), axis=-1)
+        distance = jnp.linalg.norm(centroid - tr, axis=-1)
+        r = blk * r_leaf
+        ok = ((distance - r - trunc <= geom.max_range)
+              & (distance + r + trunc >= geom.min_range))
+        gate = gate & jnp.repeat(jnp.repeat(ok, blk, 0), blk, 1)
+        blk *= 2
+    return gate
+
+
+def push_tree(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
+              data: jnp.ndarray, mask: jnp.ndarray) -> TsdGrid:
+    """TsdGrid::pushTree (TsdGrid.cpp:286-350): quadtree-culled push.
+
+    The recursion prunes whole branches by the range-window test before
+    the leaf-level beam-span test; surviving leaves fuse exactly like
+    push.  Because the branch test is conservative (a branch window
+    contains every child window), the fused result is identical to
+    push() — the quadtree only saves work, which here shows up as the
+    per-tile cull being gated by the cheap per-level masks.
+
+    Divergence (documented): the reference's pushTree fusion loop skips
+    the per-beam measurement-mask check that push applies
+    (TsdGrid.cpp:321-341 vs :249-274) — unmaintained older copy of the
+    loop.  We keep the mask check, matching push.
+    """
+    return push(grid, geom, pose, data, mask,
+                tile_gate=branch_gate(grid, geom, pose))
+
+
 push_jit = jax.jit(push, static_argnames=("geom",))
+push_tree_jit = jax.jit(push_tree, static_argnames=("geom",))

@@ -5,6 +5,7 @@ from ohm_tsd_slam_tpu.registration.icp import (
     icp,
     icp_jit,
 )
+from ohm_tsd_slam_tpu.registration.amcl import AmclParams, match_amcl
 from ohm_tsd_slam_tpu.registration.estimators import (
     closed_form_2d,
     point_to_line_2d,
@@ -25,6 +26,8 @@ from ohm_tsd_slam_tpu.registration.ransac import (
 from ohm_tsd_slam_tpu.registration.twinpoint import match_twinpoint
 
 __all__ = [
+    "AmclParams",
+    "match_amcl",
     "IcpParams",
     "IcpResult",
     "IcpState",
