@@ -27,6 +27,11 @@ class RegMode(enum.IntEnum):
     # Gauss-Newton on the TSD field — no raycast, no NN search
     # (registration/gauss_newton.py).
     GN = 4
+    # Working realization of the reference's declared-but-unimplemented
+    # AdaptiveMonteCarloMatching stub (amcl/AdaptiveMonteCarloMatching.h:
+    # 16-40): particle-filter pre-match + ICP refinement
+    # (registration/amcl.py).
+    AMCL = 5
 
 
 @dataclass(frozen=True)
@@ -87,6 +92,11 @@ class IcpConfig:
     dist_filter_max: float = 1.0       # DistanceFilter maxdist
     use_distance_filter: bool = True
     use_reciprocal_filter: bool = True
+    # rigid estimator strategy (Icp::setRigidEstimator, Icp.h:39-314):
+    # "closed_form" = ClosedFormEstimator2D (the reference default,
+    # ThreadLocalize.cpp:217), "point_to_line" = PointToLine2DEstimator
+    # using raycast normals
+    estimator: str = "closed_form"
 
 
 @dataclass(frozen=True)
@@ -125,6 +135,31 @@ class BeamModelConfig:
 
 
 @dataclass(frozen=True)
+class AmclConfig:
+    """AMCL matcher parameters (TPU realization of the reference's
+    declared AdaptiveMonteCarloMatching surface; registration/amcl.py)."""
+
+    particles: int = 512
+    iterations: int = 8
+    sigma_trans: float = 0.25
+    sigma_rot: float = 0.17
+
+
+@dataclass(frozen=True)
+class OdomRescueConfig:
+    """Odometry-rescue parameters (OdometryAnalyzer plumbing,
+    src/ThreadLocalize.cpp:102-103,145-146; velocity limits
+    src/ThreadLocalize.h:56-71)."""
+
+    use_odom_rescue: bool = False      # "use_odom_rescue" param
+    laser_x: float = 0.0               # static laser-in-base transform
+    laser_y: float = 0.0               # (tf lookup in the reference,
+    laser_yaw: float = 0.0             #  OdometryAnalyzer.cpp:84-103)
+    trns_vel_max: float = 1.5          # TRNS_VEL_MAX
+    rot_vel_max: float = 6.28          # ROT_VEL_MAX
+
+
+@dataclass(frozen=True)
 class RegistrationConfig:
     mode: RegMode = RegMode.ICP        # registration_mode param
     trns_thresh: float = 0.25          # TRNS_THRESH: max |t| accepted (ThreadLocalize.h:60)
@@ -134,6 +169,7 @@ class RegistrationConfig:
     icp: IcpConfig = field(default_factory=IcpConfig)
     ransac: RansacConfig = field(default_factory=RansacConfig)
     beam_model: BeamModelConfig = field(default_factory=BeamModelConfig)
+    amcl: AmclConfig = field(default_factory=AmclConfig)
 
 
 @dataclass(frozen=True)
@@ -158,6 +194,7 @@ class RobotConfig:
     sensor: SensorConfig = field(default_factory=SensorConfig)
     registration: RegistrationConfig = field(default_factory=RegistrationConfig)
     footprint: FootprintConfig = field(default_factory=FootprintConfig)
+    odom: OdomRescueConfig = field(default_factory=OdomRescueConfig)
 
 
 @dataclass(frozen=True)
@@ -257,6 +294,7 @@ def _robot_from_params(params: Dict[str, Any], ns: str) -> RobotConfig:
         iterations=int(_pick(params, ns, "icp_iterations", 25)),
         dist_filter_min=float(_pick(params, ns, "dist_filter_min", 0.2)),
         dist_filter_max=float(_pick(params, ns, "dist_filter_max", 1.0)),
+        estimator=str(_pick(params, ns, "icp_estimator", "closed_form")),
     )
     ransac = RansacConfig(
         trials=int(params.get("trials", 100)),
@@ -287,6 +325,18 @@ def _robot_from_params(params: Dict[str, Any], ns: str) -> RobotConfig:
         icp=icp,
         ransac=ransac,
         beam_model=beam,
+        amcl=AmclConfig(
+            particles=int(_pick(params, ns, "amcl_particles", 512)),
+            iterations=int(_pick(params, ns, "amcl_iterations", 8)),
+            sigma_trans=float(_pick(params, ns, "amcl_sigma_trans", 0.25)),
+            sigma_rot=float(_pick(params, ns, "amcl_sigma_rot", 0.17)),
+        ),
+    )
+    odom = OdomRescueConfig(
+        use_odom_rescue=bool(_pick(params, ns, "use_odom_rescue", False)),
+        laser_x=float(_pick(params, ns, "laser_x_offset", 0.0)),
+        laser_y=float(_pick(params, ns, "laser_y_offset", 0.0)),
+        laser_yaw=float(_pick(params, ns, "laser_yaw_offset", 0.0)),
     )
     footprint = FootprintConfig(
         width=float(_pick(params, ns, "footprint_width", 1.0)),
@@ -301,6 +351,7 @@ def _robot_from_params(params: Dict[str, Any], ns: str) -> RobotConfig:
         sensor=sensor,
         registration=reg,
         footprint=footprint,
+        odom=odom,
     )
 
 

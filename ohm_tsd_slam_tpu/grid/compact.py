@@ -92,34 +92,41 @@ def _assemble(counts: jnp.ndarray, size: int):
     return c, r, valid
 
 
-def compact_mask_values(mask: jnp.ndarray, values: Optional[jnp.ndarray],
-                        size: int):
+def compact_mask_values(mask: jnp.ndarray, values, size: int):
     """First-`size` true entries of a flat boolean mask, with values.
 
     Args:
       mask: 1D bool array; length must be a multiple of 128.
-      values: optional 1D array like mask — compacted alongside.
+      values: optional 1D array like mask — compacted alongside — or a
+        tuple/list of such arrays (all compacted through one butterfly).
       size: static output length K.
     Returns:
       (idx [K] int32 flat indices, ascending; 0 in invalid slots),
-      (vals [K] or None), (valid [K] bool).
+      (vals [K], tuple of [K], or None — matching the input shape),
+      (valid [K] bool).
     """
     n = mask.shape[0]
     assert n % CHUNK == 0, n
     m2 = mask.reshape(-1, CHUNK)                          # [C, 128]
 
+    multi = isinstance(values, (tuple, list))
+    value_list = list(values) if multi else (
+        [] if values is None else [values])
+
     col = jnp.broadcast_to(
         jnp.arange(CHUNK, dtype=jnp.int32)[None, :], m2.shape)
-    chans = [col]
-    if values is not None:
-        chans.append(values.reshape(m2.shape))
+    chans = [col] + [v.reshape(m2.shape) for v in value_list]
     _, chans = _butterfly(m2, chans)
     cols = chans[0]
 
     counts = jnp.sum(m2, axis=1, dtype=jnp.int32)         # [C]
     c, r, valid = _assemble(counts, size)
     idx = c * CHUNK + cols[c, r].astype(jnp.int32)
-    vals = chans[1][c, r] if values is not None else None
+    out_vals = [ch[c, r] for ch in chans[1:]]
+    if multi:
+        vals = tuple(out_vals)
+    else:
+        vals = out_vals[0] if out_vals else None
     return jnp.where(valid, idx, 0), vals, valid
 
 

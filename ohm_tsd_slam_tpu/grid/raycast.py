@@ -51,6 +51,10 @@ class RaycastResult(NamedTuple):
     ranges: jnp.ndarray    # [B]    |coords| — rendered range image (for
                            #        differentiable scan matching; no
                            #        reference analogue)
+    # crossings dropped past raycast_fast's MAX_CROSSINGS capacity (0 for
+    # the exact march, which has no such cap); nonzero means beams may
+    # silently miss hits — use raycast_checked for a guarded fallback
+    n_dropped: jnp.ndarray = None
 
 
 def _num_steps(geom: SensorPolar2D, grid: TsdGrid) -> int:
@@ -155,7 +159,8 @@ def raycast(grid: TsdGrid, geom: SensorPolar2D,
     coords_s = jnp.where(mask[:, None], coords_s, zero)
     normals_s = jnp.where(mask[:, None], normals_s, zero)
     ranges = jnp.linalg.norm(coords_s, axis=-1)
-    return RaycastResult(coords_s, normals_s, mask, ranges)
+    return RaycastResult(coords_s, normals_s, mask, ranges,
+                         jnp.asarray(0, jnp.int32))
 
 
 raycast_jit = jax.jit(raycast, static_argnames=("geom",))

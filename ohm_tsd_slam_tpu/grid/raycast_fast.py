@@ -1,33 +1,45 @@
-"""Fast TPU raycast: crossing-splat + MXU presence + exact window refine.
+"""Fast TPU raycast: marching-squares isocontour + MXU ray-segment
+intersection + exact window replay.
 
-Motivation: XLA lowers random 2D gathers to a ~11 ns/element serial path
-on TPU, so the dense [beams x steps] march of grid/raycast.py spends
-~60 ms in gathers per 1081-beam scan.  This kernel reformulates the
-search so the heavy work runs on dense element-wise ops and one MXU
-matmul, leaving only O(beams) gathers:
+Motivation: XLA lowers random 2D gathers to a slow serial path on TPU, so
+the dense [beams x steps] march of grid/raycast.py spends most of its
+time in gathers.  This caster reformulates the search so the heavy work
+runs on dense element-wise ops and MXU matmuls, leaving only
+O(beams x window) gathers:
 
-  1. surface extraction: TSD sign changes between adjacent cells, found
-     densely over the whole grid (pure element-wise; every bilinear
-     zero-crossing along any ray lies in a cell quad with mixed-sign
-     corners, so every possible march event is covered);
-  2. butterfly compaction of the ~10-50k crossing pairs to a fixed-size
-     list (scatter-free jnp.nonzero replacement; the interpolation
-     fraction rides along as a value channel);
-  3. per-beam candidate: a masked min-reduction over the
-     [crossings, beams] grid picks each beam's earliest in-band,
-     in-clip-window crossing (band half-width grows as 1.5 cells /
-     range, covering beam quantization near the sensor);
-  4. the candidate step seeds a window where
-     the EXACT march of RayCastPolar2D.cpp:237-270 (bilinear taps at
-     idx_min + integer steps, +→− hit, −→+ back-face reject, NaN skip)
-     is then replayed over a ±WINDOW-step window around the candidate —
-     only O(beams·window) gathers.
+  1. isocontour extraction: a vectorized marching-squares pass over the
+     cell-center grid turns the TSD zero level set into line segments —
+     sign patterns, edge-crossing interpolation and the saddle-point
+     decider for the ambiguous (4-crossing) case are all dense
+     element-wise ops over [H-1, W-1] quads.  Quads with a NaN corner
+     emit nothing (bilinear interpolation there returns ISNAN, so the
+     exact march can never produce an event inside them);
+  2. butterfly compaction of the segments to a fixed-size list
+     (scatter-free jnp.nonzero replacement; endpoint coordinates ride
+     along as value channels);
+  3. per-beam candidates from EXACT ray-segment intersection: with
+     per-segment precomputations, `t = c0[s] / denom[s,b]` and
+     `u = c1[s,b] / denom[s,b]` where denom and c1 are [S,2] @ [2,B]
+     matmuls (MXU-native).  A beam gets a candidate only where it truly
+     crosses the level set — grazing surfaces that approach the beam
+     without crossing produce no candidates (the failure mode of
+     angular-band / corridor splats);
+  4. each candidate seeds a window where the EXACT march of
+     RayCastPolar2D.cpp:237-270 (bilinear taps at idx_min + integer
+     steps, +to- hit, -to+ back-face reject, NaN skip) is replayed; the
+     first window's event decides, a second window at the next
+     intersection covers double-crossings inside one step (the march
+     sees no sign change there and must continue).
 
-Model points agree with the exact march wherever the first event falls
-inside the refined window (validated against grid/raycast.py in tests);
-the window can in principle miss events displaced by more than WINDOW
-steps from the nearest cell-level crossing, which does not occur for
-truncation bands >= 2 cells.
+Model points agree with the exact march beam-for-beam on the golden
+scenario (asserted against the compiled C++ reference in
+tests/test_reference_parity.py); residual disagreement is confined to
+knife-edge tangencies where the linearized isocontour and the sampled
+march disagree about grazing contact.
+
+Overflow: segments beyond MAX_SEGMENTS are dropped by the compaction;
+the count is exposed as RaycastResult.n_dropped and `raycast_checked`
+falls back to the exact march when it is nonzero (no silent caps).
 """
 
 from __future__ import annotations
@@ -50,57 +62,220 @@ from ohm_tsd_slam_tpu.grid.raycast import RaycastResult
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
 from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D
 
-# max crossing pairs kept; crossings beyond this are dropped (a 1024^2
-# map of corridors has ~10-30k surface pairs)
-MAX_CROSSINGS = 32768
-WINDOW = 12          # refine samples; candidate sits ~1/3 in
+# max isocontour segments kept; segments beyond this are dropped AND
+# counted (n_dropped; a 1024^2 map of corridors has ~10-30k segments)
+MAX_SEGMENTS = 32768
+WINDOW = 12          # refine samples per candidate window
+BACKOFF = 4.0        # window starts this many steps before the candidate
+# backward-compat alias (overflow capacity)
+MAX_CROSSINGS = MAX_SEGMENTS
 
 
-def _crossing_points(grid: TsdGrid):
-    """Dense H/V adjacent-cell sign changes -> compacted world points.
+def _isocontour_segments(grid: TsdGrid):
+    """Marching squares over cell-center quads -> compacted segments.
 
-    Returns (points [C,2], valid [C]).
+    Returns (p0 [S,2], p1 [S,2], valid [S], n_dropped) in world meters.
     """
     s = grid.cell_size
     tsd = grid.tsd
     H, W = tsd.shape
+    dtype = tsd.dtype
 
-    a_h = tsd[:, :-1]
-    b_h = tsd[:, 1:]
-    ev_h = ((a_h > 0) & (b_h < 0)) | ((a_h < 0) & (b_h > 0))
-    interp_h = a_h / (a_h - b_h)
+    v00 = tsd[:-1, :-1]          # corner (y,   x)
+    v01 = tsd[:-1, 1:]           # corner (y,   x+1)
+    v11 = tsd[1:, 1:]            # corner (y+1, x+1)
+    v10 = tsd[1:, :-1]           # corner (y+1, x)
+    quad_ok = ~(jnp.isnan(v00) | jnp.isnan(v01)
+                | jnp.isnan(v11) | jnp.isnan(v10))
 
-    a_v = tsd[:-1, :]
-    b_v = tsd[1:, :]
-    ev_v = ((a_v > 0) & (b_v < 0)) | ((a_v < 0) & (b_v > 0))
-    interp_v = a_v / (a_v - b_v)
+    def crossing(a, b):
+        return ((a > 0) & (b < 0)) | ((a < 0) & (b > 0))
 
-    # pad the pair grids back to [H, W] so one compaction covers both;
-    # compact_mask_values is the scatter-free jnp.nonzero replacement
-    # (TPU's serial scatter made nonzero cost ~21 ms on a 1024^2 grid);
-    # the interpolation fractions ride through the compaction as a value
-    # channel, avoiding two more 32k-element gathers afterwards
-    ev = jnp.stack([
-        jnp.pad(ev_h, ((0, 0), (0, 1))),
-        jnp.pad(ev_v, ((0, 1), (0, 0))),
-    ])
-    interp = jnp.stack([
-        jnp.pad(interp_h, ((0, 0), (0, 1))),
-        jnp.pad(interp_v, ((0, 1), (0, 0))),
-    ])
-    flat_idx, f, valid = compact_mask_values(
-        ev.reshape(-1), interp.reshape(-1), MAX_CROSSINGS)
-    which = flat_idx // (H * W)
-    rem = flat_idx - which * (H * W)
-    iyc = rem // W
-    ixc = rem - iyc * W
+    def frac(a, b):
+        return a / (a - b)
 
-    # crossing between cell centers (i+0.5)s and (i+1.5)s
-    is_h = which == 0
-    f = jnp.where(valid, f, 0.0)
-    px = (ixc.astype(tsd.dtype) + 0.5 + jnp.where(is_h, f, 0.0)) * s
-    py = (iyc.astype(tsd.dtype) + 0.5 + jnp.where(is_h, 0.0, f)) * s
-    return jnp.stack([px, py], axis=-1), valid
+    # edges: bottom (v00-v01), right (v01-v11), top (v10-v11),
+    # left (v00-v10); crossing points in world coords
+    cb = crossing(v00, v01)
+    cr = crossing(v01, v11)
+    ct = crossing(v10, v11)
+    cl = crossing(v00, v10)
+
+    qx = jnp.arange(W - 1, dtype=dtype)[None, :]
+    qy = jnp.arange(H - 1, dtype=dtype)[:, None]
+    Bx = (qx + 0.5 + frac(v00, v01)) * s
+    By = jnp.broadcast_to((qy + 0.5) * s, Bx.shape)
+    Rx = jnp.broadcast_to((qx + 1.5) * s, Bx.shape)
+    Ry = (qy + 0.5 + frac(v01, v11)) * s
+    Tx = (qx + 0.5 + frac(v10, v11)) * s
+    Ty = jnp.broadcast_to((qy + 1.5) * s, Bx.shape)
+    Lx = jnp.broadcast_to((qx + 0.5) * s, Bx.shape)
+    Ly = (qy + 0.5 + frac(v00, v10)) * s
+
+    F = jnp.stack([cb, cr, ct, cl]) & quad_ok             # [4, Hq, Wq]
+    Px = jnp.stack([Bx, Rx, Tx, Lx])
+    Py = jnp.stack([By, Ry, Ty, Ly])
+    n_crossed = jnp.sum(F, axis=0)
+
+    # two-crossing quads: the segment joins the first and last crossed
+    # edge in B,R,T,L order (unique for n == 2)
+    first = jnp.argmax(F, axis=0)
+    last = 3 - jnp.argmax(F[::-1], axis=0)
+
+    def pick(P, idx):
+        return jnp.take_along_axis(P, idx[None], 0)[0]
+
+    two = quad_ok & (n_crossed == 2)
+    four = quad_ok & (n_crossed == 4)
+
+    # saddle decider for the ambiguous case: the bilinear saddle value
+    # (v00*v11 - v01*v10)/(v00 + v11 - v01 - v10) decides connectivity —
+    # exact topology of a bilinear field.  saddle sign == sign(v00):
+    # the v01/v10 corners are isolated -> segments (B,R) and (T,L);
+    # otherwise v00/v11 are isolated -> (B,L) and (T,R).
+    den = v00 + v11 - v01 - v10
+    saddle = jnp.where(jnp.abs(den) > 0, (v00 * v11 - v01 * v10)
+                       / jnp.where(den == 0, 1.0, den), 0.0)
+    same00 = (saddle > 0) == (v00 > 0)
+
+    # segment 1: two-crossing join, or (B, R or L) for saddle quads
+    s1_p0x = jnp.where(four, Px[0], pick(Px, first))
+    s1_p0y = jnp.where(four, Py[0], pick(Py, first))
+    s1_p1x = jnp.where(four, jnp.where(same00, Px[1], Px[3]),
+                       pick(Px, last))
+    s1_p1y = jnp.where(four, jnp.where(same00, Py[1], Py[3]),
+                       pick(Py, last))
+    s1_mask = two | four
+
+    # segment 2 only on saddle quads: (T, L or R)
+    s2_p0x = Px[2]
+    s2_p0y = Py[2]
+    s2_p1x = jnp.where(same00, Px[3], Px[1])
+    s2_p1y = jnp.where(same00, Py[3], Py[1])
+    s2_mask = four
+
+    # --- virtual segments for NaN-adjacent crossings ---------------------
+    # A crossed edge both of whose adjacent quads have a NaN corner (the
+    # thin unseen side of a wall) belongs to no marching-squares segment,
+    # yet the exact march can still see a sign change across it (its
+    # samples only need their OWN 4-tap stencils valid).  Emit a short
+    # segment through the crossing point, transverse to the cell pair —
+    # the level set crosses the edge, so locally it runs roughly
+    # perpendicular to it; the exact window replay resolves the rest.
+    clean = s1_mask                                       # [Hq, Wq]
+    VIRT = 0.9 * s
+
+    # h-edge (y, x): bottom edge of quad (y, x), top edge of quad (y-1, x)
+    ev_h_full = crossing(tsd[:, :-1], tsd[:, 1:])          # [H, W-1]
+    clean_h = jnp.pad(clean, ((0, 1), (0, 0)))             # quad (y, x)
+    clean_h_up = jnp.pad(clean, ((1, 0), (0, 0)))          # quad (y-1, x)
+    virt_h = ev_h_full & ~(clean_h | clean_h_up)
+    fh = frac(tsd[:, :-1], tsd[:, 1:])
+    hx = (jnp.arange(W - 1, dtype=dtype)[None, :] + 0.5 + fh) * s
+    hy = jnp.broadcast_to(
+        (jnp.arange(H, dtype=dtype)[:, None] + 0.5) * s, hx.shape)
+    vh_p0x, vh_p0y = hx, hy - VIRT
+    vh_p1x, vh_p1y = hx, hy + VIRT
+
+    # v-edge (y, x): left edge of quad (y, x), right edge of quad (y, x-1)
+    ev_v_full = crossing(tsd[:-1, :], tsd[1:, :])          # [H-1, W]
+    clean_v = jnp.pad(clean, ((0, 0), (0, 1)))
+    clean_v_left = jnp.pad(clean, ((0, 0), (1, 0)))
+    virt_v = ev_v_full & ~(clean_v | clean_v_left)
+    fv = frac(tsd[:-1, :], tsd[1:, :])
+    vy = (jnp.arange(H - 1, dtype=dtype)[:, None] + 0.5 + fv) * s
+    vx = jnp.broadcast_to(
+        (jnp.arange(W, dtype=dtype)[None, :] + 0.5) * s, vy.shape)
+    vv_p0x, vv_p0y = vx - VIRT, vy
+    vv_p1x, vv_p1y = vx + VIRT, vy
+
+    # pad all layers back to [H, W] so one compaction covers them
+    def pad(a):
+        return jnp.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])))
+
+    mask = jnp.stack([pad(s1_mask), pad(s2_mask),
+                      pad(virt_h), pad(virt_v)]).reshape(-1)
+    chans = tuple(
+        jnp.stack([pad(a), pad(b), pad(c), pad(d)]).reshape(-1)
+        for a, b, c, d in ((s1_p0x, s2_p0x, vh_p0x, vv_p0x),
+                           (s1_p0y, s2_p0y, vh_p0y, vv_p0y),
+                           (s1_p1x, s2_p1x, vh_p1x, vv_p1x),
+                           (s1_p1y, s2_p1y, vh_p1y, vv_p1y)))
+
+    n_total = jnp.sum(mask, dtype=jnp.int32)
+    n_dropped = jnp.maximum(n_total - MAX_SEGMENTS, 0)
+    _, vals, valid = compact_mask_values(mask, chans, MAX_SEGMENTS)
+    p0 = jnp.stack([vals[0], vals[1]], axis=-1)
+    p1 = jnp.stack([vals[2], vals[3]], axis=-1)
+    return p0, p1, valid, n_dropped
+
+
+def _segment_candidates(p0, p1, svalid, tr, ray, lo, hi, t_after):
+    """Earliest ray-segment intersection per beam with t >= t_after.
+
+    p0/p1: [S,2] segment endpoints (world m); ray: [B,2] step vector
+    (unit direction * cell size); lo/hi/t_after: [B] clip range in steps.
+    Returns t1 [B] in steps (inf = none).
+
+    Intersection of tr + t*ray with p0 + u*(p1-p0):
+      denom[s,b] = cross(ray[b], e[s])   (one [S,2] @ [2,B] matmul)
+      c1[s,b]    = cross(ray[b], d0[s])  (one [S,2] @ [2,B] matmul)
+      c0[s]      = cross(d0[s], e[s])    (per-segment scalar)
+      t = c0 / denom,  u = -c1 / denom;  hit iff u in [0,1], t in [lo,hi].
+    """
+    dtype = p0.dtype
+    e = p1 - p0                                           # [S, 2]
+    d0 = p0 - tr                                          # [S, 2]
+    # cross(a, b) = ax*by - ay*bx, as outer products over (s, b)
+    rot = jnp.stack([-ray[:, 1], ray[:, 0]], axis=0)      # [2, B]
+    denom = e @ rot                                       # cross(ray, e)
+    c1 = d0 @ rot                                         # cross(ray, d0)
+    c0 = d0[:, 0] * e[:, 1] - d0[:, 1] * e[:, 0]          # [S]
+
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    ok_denom = jnp.abs(denom) > eps * jnp.maximum(
+        jnp.linalg.norm(e, axis=1), 1e-30)[:, None]
+    safe = jnp.where(ok_denom, denom, 1.0)
+    t = c0[:, None] / safe
+    # u = (d0 x ray)/(ray x e) = -c1/denom
+    u = -c1 / safe
+    ok = (svalid[:, None] & ok_denom & (u >= 0.0) & (u <= 1.0)
+          & (t >= lo[None, :]) & (t <= hi[None, :])
+          & (t >= t_after[None, :]))
+    big = jnp.asarray(jnp.inf, dtype)
+    return jnp.min(jnp.where(ok, t, big), axis=0)
+
+
+def _window_events(grid, tr, ray, idx_min, idx_max, k_cand, has_cand):
+    """Replay the exact march (RayCastPolar2D.cpp:237-270) over a
+    WINDOW-step window starting BACKOFF steps before the candidate.
+
+    Returns (hit, any_ev, pos_ev [B,2], interp [B]).
+    """
+    dtype = ray.dtype
+    m_start = jnp.maximum(jnp.floor(k_cand - idx_min) - BACKOFF, 0.0)
+    j = jnp.arange(WINDOW, dtype=dtype)
+    t_w = idx_min[:, None] + m_start[:, None] + j[None, :]   # [B, W]
+    pos = tr + t_w[..., None] * ray[:, None, :]
+    tsd_w, code_w = interpolate_bilinear(grid, pos)
+    v = jnp.where(code_w == INTERPOLATE_SUCCESS, tsd_w, jnp.nan)
+
+    # loop condition i <= idx_max with i = t - 1 (see raycast.py)
+    sample_ok = (t_w[:, 1:] - 1.0) <= idx_max[:, None]
+    v_prev = v[:, :-1]
+    v_cur = v[:, 1:]
+    ev_pos = (v_prev > 0) & (v_cur < 0) & sample_ok
+    ev_neg = (v_prev < 0) & (v_cur > 0) & sample_ok
+    ev = ev_pos | ev_neg
+    any_ev = jnp.any(ev, axis=1) & has_cand
+    k_ev = jnp.argmax(ev, axis=1)
+    hit = any_ev & jnp.take_along_axis(ev_pos, k_ev[:, None], 1)[:, 0]
+
+    vp = jnp.take_along_axis(v_prev, k_ev[:, None], 1)[:, 0]
+    vc = jnp.take_along_axis(v_cur, k_ev[:, None], 1)[:, 0]
+    interp = vp / (vp - vc)
+    pos_ev = jnp.take_along_axis(pos[:, 1:, :], k_ev[:, None, None], 1)[:, 0]
+    return hit, any_ev, pos_ev, interp
 
 
 def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
@@ -108,7 +283,6 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     dtype = grid.tsd.dtype
     s = grid.cell_size
     B = geom.size
-    Bp = ((B + 127) // 128) * 128
 
     rays_local = geom.rays_local(dtype)
     rays_world = se2.rotate_vectors(pose.astype(dtype), rays_local)
@@ -134,64 +308,38 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     idx_max = jnp.minimum(jnp.minimum(xmax, ymax), geom.max_range / s)
     feasible = idx_min < idx_max
 
-    # ---- crossing splat ------------------------------------------------
-    points, cvalid = _crossing_points(grid)
-    rel = points - tr
-    r_c = jnp.linalg.norm(rel, axis=-1)                 # meters
-    t_c = r_c / s                                       # steps
-    # local beam angle exactly as backProject: atan2 in the sensor frame
-    # R^T applied elementwise (exact f32; see se2.transform_points note)
-    Rp = pose.astype(dtype)
-    rel_local = jnp.stack([Rp[0, 0] * rel[:, 0] + Rp[1, 0] * rel[:, 1],
-                           Rp[0, 1] * rel[:, 0] + Rp[1, 1] * rel[:, 1]],
-                          axis=-1)
-    phi_local = jnp.arctan2(rel_local[:, 1], rel_local[:, 0])
-    u = (phi_local - geom.phi_min) / geom.angular_res
+    # ---- isocontour segments + intersection candidates ------------------
+    # ROUNDS candidate/replay rounds: a double-crossing inside one march
+    # step (thin sliver between two sample phases) is a genuine
+    # intersection the sampled march steps over without a sign change —
+    # the search continues at the next intersection beyond the window's
+    # coverage.  Beams needing more than ROUNDS slivers fall back to
+    # miss (and agree with raycast_checked's exact path on overflow).
+    ROUNDS = 4
+    p0, p1, svalid, n_dropped = _isocontour_segments(grid)
+    lo = jnp.maximum(jnp.floor(idx_min) - 1.0, 0.0)
+    hi = jnp.ceil(idx_max) + 1.0
+    cover = WINDOW - BACKOFF - 2.0
 
-    band = jnp.maximum(1.0, 1.5 / jnp.maximum(t_c, 1.0)
-                       / geom.angular_res * 1.0)
+    t_search = lo
+    resolved = jnp.zeros((B,), bool)
+    hit = jnp.zeros((B,), bool)
+    pos_ev = jnp.zeros((B, 2), dtype)
+    interp = jnp.zeros((B,), dtype)
+    for _ in range(ROUNDS):
+        t_r = _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
+                                  t_search)
+        has = jnp.isfinite(t_r) & feasible & ~resolved
+        k_r = jnp.where(has, t_r, 0.0)
+        hit_r, any_r, pos_r, int_r = _window_events(
+            grid, tr, ray, idx_min, idx_max, k_r, has)
+        take = any_r & ~resolved
+        hit = jnp.where(take, hit_r, hit)
+        pos_ev = jnp.where(take[:, None], pos_r, pos_ev)
+        interp = jnp.where(take, int_r, interp)
+        resolved = resolved | take | ~has
+        t_search = jnp.maximum(t_search, k_r + cover)
 
-    # earliest in-band crossing per beam: one masked min-reduction over
-    # the [crossings, beams] grid (cheaper and exact, vs the previous
-    # banded-one-hot MXU splat which quantized t into unit bins and
-    # needed a [C,K] second operand)
-    bgrid = jnp.arange(Bp, dtype=dtype)
-    pad_b = Bp - B
-    lo = jnp.pad(jnp.floor(idx_min) - 1.0, (0, pad_b))
-    hi = jnp.pad(jnp.ceil(idx_max) + 1.0, (0, pad_b))
-    ok = ((jnp.abs(u[:, None] - bgrid[None, :]) <= band[:, None])
-          & cvalid[:, None]
-          & (t_c[:, None] >= lo[None, :])
-          & (t_c[:, None] <= hi[None, :]))
-    big = jnp.asarray(jnp.inf, dtype)
-    t_first = jnp.min(jnp.where(ok, t_c[:, None], big), axis=0)[:B]
-    has_cand = jnp.isfinite(t_first) & feasible
-    k_cand = jnp.where(has_cand, t_first, 0.0)
-
-    # ---- exact window refine (replays RayCastPolar2D.cpp:237-270) ------
-    m_start = jnp.maximum(jnp.floor(k_cand - idx_min) - 4.0, 0.0)
-    j = jnp.arange(WINDOW, dtype=dtype)
-    t_w = idx_min[:, None] + m_start[:, None] + j[None, :]   # [B, W]
-    pos = tr + t_w[..., None] * ray[:, None, :]
-    tsd_w, code_w = interpolate_bilinear(grid, pos)
-    v = jnp.where(code_w == INTERPOLATE_SUCCESS, tsd_w, jnp.nan)
-
-    # loop condition i <= idx_max with i = t - 1 (see raycast.py)
-    sample_ok = (t_w[:, 1:] - 1.0) <= idx_max[:, None]
-    v_prev = v[:, :-1]
-    v_cur = v[:, 1:]
-    ev_pos = (v_prev > 0) & (v_cur < 0) & sample_ok
-    ev_neg = (v_prev < 0) & (v_cur > 0) & sample_ok
-    ev = ev_pos | ev_neg
-    any_ev = jnp.any(ev, axis=1)
-    k_ev = jnp.argmax(ev, axis=1)
-    hit = (any_ev & has_cand
-           & jnp.take_along_axis(ev_pos, k_ev[:, None], 1)[:, 0])
-
-    vp = jnp.take_along_axis(v_prev, k_ev[:, None], 1)[:, 0]
-    vc = jnp.take_along_axis(v_cur, k_ev[:, None], 1)[:, 0]
-    interp = vp / (vp - vc)
-    pos_ev = jnp.take_along_axis(pos[:, 1:, :], k_ev[:, None, None], 1)[:, 0]
     coords_w = pos_ev + ray * (interp[:, None] - 1.0)
 
     normals_w, n_ok = interpolate_normal(grid, coords_w)
@@ -204,7 +352,28 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     coords_s = jnp.where(mask[:, None], coords_s, zero)
     normals_s = jnp.where(mask[:, None], normals_s, zero)
     ranges = jnp.linalg.norm(coords_s, axis=-1)
-    return RaycastResult(coords_s, normals_s, mask, ranges)
+    return RaycastResult(coords_s, normals_s, mask, ranges, n_dropped)
+
+
+def raycast_checked(grid: TsdGrid, geom: SensorPolar2D,
+                    pose: jnp.ndarray) -> RaycastResult:
+    """Guarded splat raycast: when the segment compaction overflows
+    MAX_SEGMENTS (beams would silently lose hits), fall back to the
+    exact dense march of grid/raycast.py.  Both branches are compiled;
+    only one executes per call."""
+    from ohm_tsd_slam_tpu.grid.raycast import raycast as raycast_exact
+
+    fast = raycast_fast(grid, geom, pose)
+
+    def exact(_):
+        r = raycast_exact(grid, geom, pose)
+        return r._replace(n_dropped=fast.n_dropped)
+
+    def keep(_):
+        return fast
+
+    return jax.lax.cond(fast.n_dropped > 0, exact, keep, None)
 
 
 raycast_fast_jit = jax.jit(raycast_fast, static_argnames=("geom",))
+raycast_checked_jit = jax.jit(raycast_checked, static_argnames=("geom",))

@@ -30,7 +30,10 @@ import jax.numpy as jnp
 from ohm_tsd_slam_tpu.config import IcpConfig
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.registration import filters as flt
-from ohm_tsd_slam_tpu.registration.estimators import closed_form_2d
+from ohm_tsd_slam_tpu.registration.estimators import (
+    closed_form_2d,
+    point_to_line_2d,
+)
 from ohm_tsd_slam_tpu.registration.nn import nearest_neighbors
 
 
@@ -72,6 +75,10 @@ class IcpParams:
     use_reciprocal_filter: bool = True
     # grid AABB for the out-of-bounds prefilter (ThreadLocalize.cpp:218)
     bounds: Optional[Tuple[float, float, float, float]] = None
+    # rigid estimator strategy (Icp::setRigidEstimator, Icp.h:39-314):
+    # "closed_form" (ClosedFormEstimator2D, the reference default) or
+    # "point_to_line" (PointToLine2DEstimator; needs model normals)
+    estimator: str = "closed_form"
 
     @staticmethod
     def from_config(cfg: IcpConfig, bounds=None) -> "IcpParams":
@@ -84,6 +91,7 @@ class IcpParams:
             use_distance_filter=cfg.use_distance_filter,
             use_reciprocal_filter=cfg.use_reciprocal_filter,
             bounds=bounds,
+            estimator=cfg.estimator,
         )
 
 
@@ -91,7 +99,8 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
         scene: jnp.ndarray, scene_mask: jnp.ndarray,
         params: IcpParams,
         T_init: Optional[jnp.ndarray] = None,
-        sensor_pose: Optional[jnp.ndarray] = None) -> IcpResult:
+        sensor_pose: Optional[jnp.ndarray] = None,
+        model_normals: Optional[jnp.ndarray] = None) -> IcpResult:
     """Register `scene` onto `model`.
 
     Args:
@@ -102,6 +111,9 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
         at ThreadLocalize.cpp:539-565 / applied at Icp.cpp:482-487).
       sensor_pose: (3,3) pose for the out-of-bounds prefilter (the filter
         maps scene points to world coords; ThreadLocalize.cpp:571-573).
+      model_normals: (M, 2) model normals, required by the
+        "point_to_line" estimator (raycast normals in the reference,
+        ThreadLocalize.cpp:353).
     Returns:
       IcpResult with T = accumulated transform (includes T_init).
     """
@@ -111,6 +123,15 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
         T_init = jnp.eye(3, dtype=dtype)
     if sensor_pose is None:
         sensor_pose = jnp.eye(3, dtype=dtype)
+    if params.estimator == "point_to_line":
+        if model_normals is None:
+            raise ValueError("point_to_line estimator requires model_normals")
+        def estimate(m, sc, idx, pm):
+            return point_to_line_2d(m, model_normals, sc, idx, pm)
+    elif params.estimator == "closed_form":
+        estimate = closed_form_2d
+    else:
+        raise ValueError(f"unknown estimator {params.estimator!r}")
 
     thresh2 = flt.distance_threshold_schedule(
         params.dist_max, params.dist_min, params.iterations).astype(dtype)
@@ -135,7 +156,7 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
         npairs = jnp.sum(pmask)
         matchable = npairs > 2      # Icp.cpp:421
 
-        T_last, rms = closed_form_2d(model, scene_cur, idx, pmask)
+        T_last, rms = estimate(model, scene_cur, idx, pmask)
         T_new = jnp.where(matchable, T_last @ T, T)
         rms = jnp.where(matchable, rms, rms_prev)
 

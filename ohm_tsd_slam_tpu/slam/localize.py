@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ohm_tsd_slam_tpu.config import (
     BeamModelConfig,
+    OdomRescueConfig,
     RegistrationConfig,
     RegMode,
 )
@@ -36,6 +37,7 @@ from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.raycast import raycast
 from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
+from ohm_tsd_slam_tpu.registration.amcl import AmclParams, match_amcl
 from ohm_tsd_slam_tpu.registration.gauss_newton import (
     GnParams,
     match_gauss_newton,
@@ -47,6 +49,7 @@ from ohm_tsd_slam_tpu.registration.ransac import (
     match_pdf,
     match_tsd,
 )
+from ohm_tsd_slam_tpu.slam import odometry
 from ohm_tsd_slam_tpu.sensor.polar2d import (
     SensorPolar2D,
     data_to_cartesian,
@@ -116,10 +119,25 @@ class LocalizeParams:
     beam: Optional[BeamModelConfig] = None
     # direct Gauss-Newton matcher (mode GN)
     gn: GnParams = GnParams()
+    # particle-filter matcher (mode AMCL)
+    amcl: AmclParams = AmclParams()
+    # optional odometry rescue (OdometryAnalyzer call sites,
+    # ThreadLocalize.cpp:263-265,334-336,586-588)
+    odom: Optional[odometry.OdomRescueParams] = None
 
     @staticmethod
     def from_config(reg: RegistrationConfig, geom: SensorPolar2D,
-                    bounds=None) -> "LocalizeParams":
+                    bounds=None, odom_cfg: Optional[OdomRescueConfig] = None,
+                    cell_size: float = 0.025) -> "LocalizeParams":
+        odom_params = None
+        if odom_cfg is not None and odom_cfg.use_odom_rescue:
+            odom_params = odometry.OdomRescueParams(
+                tf_laser=(odom_cfg.laser_x, odom_cfg.laser_y,
+                          odom_cfg.laser_yaw),
+                trns_vel_max=odom_cfg.trns_vel_max,
+                rot_vel_max=odom_cfg.rot_vel_max,
+                cell_size=cell_size,
+            )
         return LocalizeParams(
             geom=geom,
             icp=IcpParams.from_config(reg.icp, bounds=bounds),
@@ -130,6 +148,13 @@ class LocalizeParams:
             rot_min=reg.rot_min,
             ransac=RansacParams.from_config(reg.ransac, geom.angular_res),
             beam=reg.beam_model,
+            amcl=AmclParams(
+                particles=reg.amcl.particles,
+                iterations=reg.amcl.iterations,
+                sigma_trans=reg.amcl.sigma_trans,
+                sigma_rot=reg.amcl.sigma_rot,
+            ),
+            odom=odom_params,
         )
 
 
@@ -137,7 +162,9 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
                   data: jnp.ndarray, mask: jnp.ndarray,
                   params: LocalizeParams,
                   T_prereg: Optional[jnp.ndarray] = None,
-                  key: Optional[jax.Array] = None) -> LocalizeResult:
+                  key: Optional[jax.Array] = None,
+                  odom_state: Optional[odometry.OdomState] = None
+                  ) -> LocalizeResult:
     """One localization cycle (the body of ThreadLocalize::eventLoop,
     ThreadLocalize.cpp:310-409).
 
@@ -149,10 +176,33 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
       params: static parameters.
       T_prereg: optional externally computed RANSAC seed (3,3); overrides
         the built-in matcher dispatch.
-      key: PRNG key for the RANSAC matchers (modes EXP/PDF/TSD;
-        doRegistration dispatch, ThreadLocalize.cpp:530-568).
+      key: PRNG key for the stochastic matchers (modes EXP/PDF/TSD/AMCL;
+        doRegistration dispatch, ThreadLocalize.cpp:530-568).  The caller
+        must supply a fresh key per scan (SlamNode folds the per-robot
+        scan counter in); the PRNGKey(0) fallback exists only for direct
+        library use.
+      odom_state: optional odometry-rescue state (odomRescueUpdate must
+        have been applied for this scan; see slam.odometry).  Requires
+        params.odom; applied between registration and the error gate at
+        the reference's commented-out call site
+        (ThreadLocalize.cpp:586-588).
     """
     geom = params.geom
+
+    def finish(T, model_ok, model_valid, scene_valid, rms, iters):
+        # optional odometry rescue (OdometryAnalyzer::odomRescueCheck)
+        if params.odom is not None and odom_state is not None:
+            T, _rescued = odometry.check(odom_state, params.odom, T)
+        # failure gate + pose update
+        err = is_registration_error(T, params.trns_max, params.rot_max)
+        err = err | ~model_ok
+        new_pose = jnp.where(err, pose, pose @ T)
+        significant = (~err) & is_pose_change_significant(
+            last_pose, new_pose, params.trns_min, params.rot_min)
+        return LocalizeResult(
+            pose=new_pose, T=T, reg_error=err, significant=significant,
+            model_valid=model_valid, scene_valid=scene_valid,
+            rms=rms, icp_iterations=iters)
 
     # scene (Sensor::dataToCartesianVectorMask)
     scene, scene_mask = data_to_cartesian(geom, data, mask)
@@ -163,29 +213,15 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
     if params.mode == int(RegMode.GN) and T_prereg is None:
         gn_res = match_gauss_newton(grid, pose, scene, scene_mask,
                                     params.gn)
-        T = gn_res.T
         reg_ok = gn_res.matches >= params.gn.min_matches
-        err = is_registration_error(T, params.trns_max, params.rot_max)
-        err = err | ~reg_ok
-        new_pose = jnp.where(err, pose, pose @ T)
-        significant = (~err) & is_pose_change_significant(
-            last_pose, new_pose, params.trns_min, params.rot_min)
-        return LocalizeResult(
-            pose=new_pose,
-            T=T,
-            reg_error=err,
-            significant=significant,
-            model_valid=gn_res.matches,
-            scene_valid=jnp.sum(scene_mask),
-            rms=gn_res.rms,
-            icp_iterations=gn_res.iterations,
-        )
+        return finish(gn_res.T, reg_ok, gn_res.matches,
+                      jnp.sum(scene_mask), gn_res.rms, gn_res.iterations)
 
     # model rendering (reference raycast, beam-aligned masked outputs)
     render = raycast_fast if params.fast_raycast else raycast
     model = render(grid, geom, pose)
 
-    # registration: RANSAC pre-match seed + ICP refinement
+    # registration: pre-match seed + ICP refinement
     if T_prereg is not None:
         T_init = T_prereg
     elif params.mode != int(RegMode.ICP):
@@ -198,34 +234,20 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
             T_init = match_pdf(key, model.coords, model.mask,
                                scene, scene_mask, params.ransac,
                                params.beam)
+        elif params.mode == int(RegMode.AMCL):
+            T_init = match_amcl(key, grid, pose, scene, scene_mask,
+                                params.amcl)
         else:
             T_init = match_tsd(key, grid, pose, model.coords, model.mask,
                                scene, scene_mask, params.ransac)
     else:
         T_init = jnp.eye(3, dtype=scene.dtype)
     icp_res = icp(model.coords, model.mask, scene, scene_mask,
-                  params.icp, T_init=T_init, sensor_pose=pose)
-    T = icp_res.T
-
-    # failure gate + pose update
+                  params.icp, T_init=T_init, sensor_pose=pose,
+                  model_normals=model.normals)
     model_ok = jnp.sum(model.mask) > 0    # raycast-degenerate guard (:354-358)
-    err = is_registration_error(T, params.trns_max, params.rot_max)
-    err = err | ~model_ok
-    new_pose = jnp.where(err, pose, pose @ T)
-
-    significant = (~err) & is_pose_change_significant(
-        last_pose, new_pose, params.trns_min, params.rot_min)
-
-    return LocalizeResult(
-        pose=new_pose,
-        T=T,
-        reg_error=err,
-        significant=significant,
-        model_valid=jnp.sum(model.mask),
-        scene_valid=jnp.sum(scene_mask),
-        rms=icp_res.rms,
-        icp_iterations=icp_res.iterations,
-    )
+    return finish(icp_res.T, model_ok, jnp.sum(model.mask),
+                  jnp.sum(scene_mask), icp_res.rms, icp_res.iterations)
 
 
 localize_step_jit = jax.jit(localize_step, static_argnames=("params",))

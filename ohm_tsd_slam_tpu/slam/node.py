@@ -70,12 +70,24 @@ class Localizer:
     scan_channel: native.Channel = field(
         default_factory=lambda: native.Channel(native.MAILBOX))
     last_result: Optional[PoseStamped] = None
+    # per-scan PRNG stream position (folded into the node key so the
+    # stochastic matchers draw fresh trials every scan — the reference
+    # reseeds rand() per call)
+    scan_count: int = 0
+    # odometry rescue (OdometryAnalyzer state; None until first odometry)
+    odom_state: Optional[object] = None
+    latest_odom: Optional[tuple] = None     # (pose 3x3 np, stamp)
 
 
 class SlamNode:
-    def __init__(self, config: SlamConfig, dtype=jnp.float32):
+    def __init__(self, config: SlamConfig, dtype=jnp.float32,
+                 seed: int = 0):
+        import jax
+
         self.config = config
         self.dtype = dtype
+        # base PRNG key; per-robot/per-scan keys are folded from it
+        self._base_key = jax.random.PRNGKey(seed)
         self.grid = grid_state.create(config.grid, dtype=dtype)
         # _grid_lock guards only the (immutable-pytree) reference swap;
         # _write_lock serializes grid *writers* (init + mapper drain) so
@@ -139,8 +151,9 @@ class SlamNode:
         loc.last_pose = loc.pose
 
         bounds = (0.0, gw, 0.0, gw)
-        loc.params = LocalizeParams.from_config(rc.registration, loc.geom,
-                                                bounds=bounds)
+        loc.params = LocalizeParams.from_config(
+            rc.registration, loc.geom, bounds=bounds, odom_cfg=rc.odom,
+            cell_size=self.config.grid.cellsize)
 
         # free footprint + initial map push (:503-507)
         fp = rc.footprint
@@ -161,8 +174,9 @@ class SlamNode:
         # localizer thread never stalls on a first-compile (the reference
         # likewise does its heavy init in the laser callback thread,
         # ThreadLocalize.cpp:257-267).
+        import jax
         localize_step_jit(grid, loc.pose, loc.last_pose, data, mask,
-                          loc.params)
+                          loc.params, key=jax.random.PRNGKey(0))
 
     def _preprocess(self, loc: Localizer, ranges: np.ndarray):
         """laserCallBack clamp + standard mask
@@ -192,8 +206,33 @@ class SlamNode:
         data, mask = self._preprocess(loc, ranges)
         with self._grid_lock:
             grid = self.grid
+
+        # fresh PRNG key per scan: fold robot id and scan counter into the
+        # node key (the reference's matchers reseed rand() per call)
+        import jax
+        key = jax.random.fold_in(jax.random.fold_in(self._base_key, robot),
+                                 loc.scan_count)
+        loc.scan_count += 1
+
+        # odometry rescue: advance the state with the latest odometry
+        # sample (odomRescueUpdate call site, ThreadLocalize.cpp:334-336)
+        odom_state = None
+        if loc.params.odom is not None and loc.latest_odom is not None:
+            from ohm_tsd_slam_tpu.slam import odometry
+            odom_pose, odom_stamp = loc.latest_odom
+            if loc.odom_state is None:
+                loc.odom_state = odometry.init(loc.params.odom,
+                                               jnp.asarray(odom_pose,
+                                                           self.dtype),
+                                               scan.stamp)
+            else:
+                loc.odom_state = odometry.update(
+                    loc.odom_state, jnp.asarray(odom_pose, self.dtype),
+                    scan.stamp, odom_ok=True)
+            odom_state = loc.odom_state
+
         res = localize_step_jit(grid, loc.pose, loc.last_pose, data, mask,
-                                loc.params)
+                                loc.params, key=key, odom_state=odom_state)
 
         if bool(res.reg_error):
             pose_msg = PoseStamped(math.nan, math.nan, math.nan,
@@ -215,6 +254,16 @@ class SlamNode:
         for cb in self.pose_callbacks:
             cb(robot, pose_msg)
         return pose_msg
+
+    def on_odometry(self, robot: int, x: float, y: float, yaw: float,
+                    stamp: float = 0.0) -> None:
+        """Feed an odometry sample for `robot` (the reference pulls the
+        same information from the tf tree, OdometryAnalyzer.cpp:65-151).
+        Used by the odometry-rescue stage when
+        robot.odom.use_odom_rescue is set."""
+        loc = self.localizers[robot]
+        pose = np.asarray(se2.make(x, y, yaw, dtype=self.dtype))
+        loc.latest_odom = (pose, stamp)
 
     def _drain_mapper(self) -> None:
         with self._write_lock:

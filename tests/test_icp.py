@@ -119,3 +119,58 @@ def test_icp_with_tinit_seed():
               jnp.asarray(scene), jnp.ones(len(scene), bool), params,
               T_init=jnp.asarray(T_seed))
     np.testing.assert_allclose(np.array(res.T), T_true, atol=1e-6)
+
+
+def test_icp_point_to_line_estimator():
+    """Pluggable estimator (Icp::setRigidEstimator strategy, Icp.h:39-314):
+    point-to-line (PointToLineEstimator2D.cpp:86-157) must invert a known
+    transform using model normals, and match a NumPy oracle of the
+    reference's normal-equation formulas for one step."""
+    # model: two perpendicular walls (rich normals), dense sampling
+    n_pts = 200
+    xs = np.linspace(0.0, 4.0, n_pts)
+    wall_a = np.stack([xs, np.zeros_like(xs)], 1)          # y = 0
+    wall_b = np.stack([np.zeros_like(xs), xs], 1)          # x = 0
+    model = np.concatenate([wall_a, wall_b])
+    normals = np.concatenate([
+        np.tile([0.0, 1.0], (n_pts, 1)),
+        np.tile([1.0, 0.0], (n_pts, 1)),
+    ])
+
+    T_true = np.array(se2.make(0.03, -0.02, 0.015, dtype=jnp.float64))
+    Ti = np.linalg.inv(T_true)
+    scene = model @ Ti[:2, :2].T + Ti[:2, 2]
+
+    params = IcpParams(iterations=30, dist_max=1.0, dist_min=0.1,
+                       estimator="point_to_line")
+    res = icp(jnp.asarray(model), jnp.ones(len(model), bool),
+              jnp.asarray(scene), jnp.ones(len(scene), bool), params,
+              model_normals=jnp.asarray(normals))
+    np.testing.assert_allclose(np.array(res.T), T_true, atol=1e-5)
+
+    # one-step oracle: exact correspondences (identity pairing), solve
+    # the reference's 3x3 normal system A [psi tx ty]^T = b
+    # (PointToLineEstimator2D.cpp:111-156)
+    from ohm_tsd_slam_tpu.registration.estimators import point_to_line_2d
+    r = np.sum(normals * (scene - model), axis=1)
+    a = scene[:, 0] * normals[:, 1] - scene[:, 1] * normals[:, 0]
+    J = np.stack([a, normals[:, 0], normals[:, 1]], 1)
+    sol = np.linalg.solve(J.T @ J, J.T @ (-r))
+    T1, rms1 = point_to_line_2d(
+        jnp.asarray(model), jnp.asarray(normals), jnp.asarray(scene),
+        jnp.arange(len(model)), jnp.ones(len(model), bool))
+    T1 = np.array(T1)
+    np.testing.assert_allclose(
+        [math.atan2(T1[1, 0], T1[0, 0]), T1[0, 2], T1[1, 2]],
+        sol, atol=1e-8)
+    np.testing.assert_allclose(float(rms1), np.abs(r).mean(), rtol=1e-9)
+
+
+def test_icp_point_to_line_requires_normals():
+    params = IcpParams(estimator="point_to_line")
+    model = jnp.zeros((8, 2))
+    try:
+        icp(model, jnp.ones(8, bool), model, jnp.ones(8, bool), params)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

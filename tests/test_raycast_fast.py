@@ -78,3 +78,34 @@ def test_fast_empty_grid():
                                          dtype=jnp.float64)))
     res = raycast_fast(grid, geom, pose)
     assert not bool(np.array(res.mask).any())
+
+
+def test_overflow_guard_counts_and_falls_back(monkeypatch):
+    """MAX_SEGMENTS overflow must be surfaced (n_dropped) and
+    raycast_checked must fall back to the exact march (VERDICT r1 #6 —
+    no silent caps)."""
+    from ohm_tsd_slam_tpu.grid import raycast_fast as rf
+
+    grid, geom = _grid_and_geom([(5.12, 5.12, 0.2), (5.3, 5.2, 0.5)])
+    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2,
+                                         dtype=jnp.float64)))
+
+    full = rf.raycast_fast(grid, geom, pose)
+    assert int(full.n_dropped) == 0
+    # exact march reports no drops by definition
+    assert int(raycast(grid, geom, pose).n_dropped) == 0
+
+    # shrink the capacity below the real segment count
+    monkeypatch.setattr(rf, "MAX_SEGMENTS", 128)
+    starved = rf.raycast_fast(grid, geom, pose)
+    assert int(starved.n_dropped) > 0
+
+    checked = rf.raycast_checked(grid, geom, pose)
+    exact = raycast(grid, geom, pose)
+    assert int(checked.n_dropped) > 0
+    np.testing.assert_array_equal(np.array(checked.mask),
+                                  np.array(exact.mask))
+    # cond-traced branch may fuse differently than the direct call:
+    # allow ULP-level drift
+    np.testing.assert_allclose(np.array(checked.coords),
+                               np.array(exact.coords), atol=1e-12)

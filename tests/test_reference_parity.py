@@ -148,21 +148,23 @@ def test_raycast_parity(golden, scenario, geom, pushed_grids, q):
 
 @pytest.mark.parametrize("q", range(3))
 def test_raycast_fast_parity(golden, scenario, geom, pushed_grids, q):
-    """The splat+refine approximation: every produced hit must carry the
-    exact-march coordinates; a small hit/miss disagreement rate on
-    candidate-window edge beams is its documented behavior
-    (grid/raycast_fast.py docstring)."""
+    """The isocontour-intersection caster must agree with the compiled
+    reference beam-for-beam too (its window replay reproduces the exact
+    march's sampling semantics)."""
     grid = pushed_grids["final"]
     res = raycast_fast(grid, geom, jnp.asarray(scenario.query_poses[q]))
     ref_mask = golden["ray%02d.mask" % q].astype(bool)
     mask = np.asarray(res.mask)
-    both = mask & ref_mask
+    np.testing.assert_array_equal(mask, ref_mask,
+                                  err_msg="ray %d fast mask" % q)
     ref_c = golden["ray%02d.coords" % q]
-    np.testing.assert_allclose(np.asarray(res.coords)[both], ref_c[both],
+    ref_n = golden["ray%02d.normals" % q]
+    np.testing.assert_allclose(np.asarray(res.coords)[mask], ref_c[mask],
                                rtol=0, atol=1e-9,
-                               err_msg="ray %d coords" % q)
-    assert np.mean(mask != ref_mask) < 0.15, \
-        "fast raycast disagrees on too many beams"
+                               err_msg="ray %d fast coords" % q)
+    np.testing.assert_allclose(np.asarray(res.normals)[mask], ref_n[mask],
+                               rtol=0, atol=1e-9,
+                               err_msg="ray %d fast normals" % q)
 
 
 def test_axis_aligned_parity(golden, pushed_grids):
