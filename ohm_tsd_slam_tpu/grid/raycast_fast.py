@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from ohm_tsd_slam_tpu.core import se2
-from ohm_tsd_slam_tpu.grid.compact import compact_mask_values
+from ohm_tsd_slam_tpu.grid.compact import compact_mask, compact_mask_values
 from ohm_tsd_slam_tpu.grid.interpolate import (
     INTERPOLATE_SUCCESS,
     interpolate_bilinear,
@@ -69,12 +69,78 @@ WINDOW = 12          # refine samples per candidate window
 BACKOFF = 4.0        # window starts this many steps before the candidate
 # backward-compat alias (overflow capacity)
 MAX_CROSSINGS = MAX_SEGMENTS
+# candidate/replay rounds (see raycast_fast docstring)
+ROUNDS = 4
+# set False to force the jnp candidate search on TPU (testing/debug)
+USE_PALLAS = True
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _isocontour_segments(grid: TsdGrid):
     """Marching squares over cell-center quads -> compacted segments.
 
     Returns (p0 [S,2], p1 [S,2], valid [S], n_dropped) in world meters.
+
+    The compaction runs in the Pallas kernel (ops/compact_pallas.py) on
+    TPU f32 grids — the XLA butterfly+assembly costs ~5 ms on a 1024^2
+    grid vs ~0.3 ms on-chip — and falls back to grid/compact.py
+    elsewhere (identical results; asserted in tests).
+    """
+    mask, chans = _segment_layers(grid)
+
+    use_pallas = USE_PALLAS and grid.tsd.dtype == jnp.float32 and _on_tpu()
+    if use_pallas:
+        from ohm_tsd_slam_tpu.ops.compact_pallas import (
+            CHUNK as _CHUNK,
+            R_BLK as _R_BLK,
+            ROW_CAP,
+            compact_channels_pallas,
+        )
+
+        if (mask.shape[0] % (_R_BLK * _CHUNK) == 0
+                and mask.shape[0] // _CHUNK >= ROW_CAP):
+            # row prefilter: only ~1-5% of 128-lane rows carry segments;
+            # gather the nonzero rows so the sequential append kernel
+            # (and the butterfly) touch ROW_CAP rows instead of all
+            m2 = mask.reshape(-1, _CHUNK)
+            row_cnt = jnp.sum(m2, axis=1, dtype=jnp.int32)
+            total = jnp.sum(row_cnt)
+            sel, sel_ok = compact_mask(row_cnt > 0, ROW_CAP)
+            m2s = jnp.where(sel_ok[:, None], m2[sel], False)
+            chans_s = tuple(c.reshape(-1, _CHUNK)[sel] for c in chans)
+            counted = jnp.sum(jnp.where(sel_ok, row_cnt[sel], 0))
+
+            packed, stored = compact_channels_pallas(
+                m2s.reshape(-1), tuple(c.reshape(-1) for c in chans_s),
+                MAX_SEGMENTS)
+            p0 = jnp.stack([packed[0, :MAX_SEGMENTS],
+                            packed[1, :MAX_SEGMENTS]], axis=-1)
+            p1 = jnp.stack([packed[2, :MAX_SEGMENTS],
+                            packed[3, :MAX_SEGMENTS]], axis=-1)
+            svalid = packed[4, :MAX_SEGMENTS] > 0.0
+            # drops: rows beyond ROW_CAP plus capacity overflow
+            n_dropped = (total - counted
+                         + jnp.maximum(counted - MAX_SEGMENTS, 0))
+            return p0, p1, svalid, n_dropped
+
+    n_total = jnp.sum(mask, dtype=jnp.int32)
+    n_dropped = jnp.maximum(n_total - MAX_SEGMENTS, 0)
+    _, vals, valid = compact_mask_values(mask, chans, MAX_SEGMENTS)
+    p0 = jnp.stack([vals[0], vals[1]], axis=-1)
+    p1 = jnp.stack([vals[2], vals[3]], axis=-1)
+    return p0, p1, valid, n_dropped
+
+
+def _segment_layers(grid: TsdGrid):
+    """Dense marching-squares + virtual-segment layers.
+
+    Returns (mask [4*H*W] bool, (p0x, p0y, p1x, p1y) flat channels).
     """
     s = grid.cell_size
     tsd = grid.tsd
@@ -123,7 +189,12 @@ def _isocontour_segments(grid: TsdGrid):
     last = 3 - jnp.argmax(F[::-1], axis=0)
 
     def pick(P, idx):
-        return jnp.take_along_axis(P, idx[None], 0)[0]
+        # dense 4-way select (take_along_axis lowers to a serial gather
+        # on TPU: ~11 ms per pick on a 1024^2 grid)
+        out = P[0]
+        for k in (1, 2, 3):
+            out = jnp.where(idx == k, P[k], out)
+        return out
 
     two = quad_ok & (n_crossed == 2)
     four = quad_ok & (n_crossed == 4)
@@ -201,13 +272,7 @@ def _isocontour_segments(grid: TsdGrid):
                            (s1_p0y, s2_p0y, vh_p0y, vv_p0y),
                            (s1_p1x, s2_p1x, vh_p1x, vv_p1x),
                            (s1_p1y, s2_p1y, vh_p1y, vv_p1y)))
-
-    n_total = jnp.sum(mask, dtype=jnp.int32)
-    n_dropped = jnp.maximum(n_total - MAX_SEGMENTS, 0)
-    _, vals, valid = compact_mask_values(mask, chans, MAX_SEGMENTS)
-    p0 = jnp.stack([vals[0], vals[1]], axis=-1)
-    p1 = jnp.stack([vals[2], vals[3]], axis=-1)
-    return p0, p1, valid, n_dropped
+    return mask, chans
 
 
 def _segment_candidates(p0, p1, svalid, tr, ray, lo, hi, t_after):
@@ -313,32 +378,75 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     # step (thin sliver between two sample phases) is a genuine
     # intersection the sampled march steps over without a sign change —
     # the search continues at the next intersection beyond the window's
-    # coverage.  Beams needing more than ROUNDS slivers fall back to
-    # miss (and agree with raycast_checked's exact path on overflow).
-    ROUNDS = 4
+    # coverage.  Round 1 replays a window for every beam; later rounds
+    # replay only the (rare) still-unresolved beams, compacted to
+    # UNRESOLVED_CAP slots.  Beams needing more than ROUNDS slivers, or
+    # overflowing the compaction, count into n_dropped (raycast_checked
+    # then falls back to the exact march).
+    UNRESOLVED_CAP = 256
     p0, p1, svalid, n_dropped = _isocontour_segments(grid)
     lo = jnp.maximum(jnp.floor(idx_min) - 1.0, 0.0)
     hi = jnp.ceil(idx_max) + 1.0
     cover = WINDOW - BACKOFF - 2.0
 
-    t_search = lo
-    resolved = jnp.zeros((B,), bool)
-    hit = jnp.zeros((B,), bool)
-    pos_ev = jnp.zeros((B, 2), dtype)
-    interp = jnp.zeros((B,), dtype)
-    for _ in range(ROUNDS):
-        t_r = _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
-                                  t_search)
-        has = jnp.isfinite(t_r) & feasible & ~resolved
-        k_r = jnp.where(has, t_r, 0.0)
-        hit_r, any_r, pos_r, int_r = _window_events(
-            grid, tr, ray, idx_min, idx_max, k_r, has)
-        take = any_r & ~resolved
-        hit = jnp.where(take, hit_r, hit)
-        pos_ev = jnp.where(take[:, None], pos_r, pos_ev)
-        interp = jnp.where(take, int_r, interp)
-        resolved = resolved | take | ~has
-        t_search = jnp.maximum(t_search, k_r + cover)
+    # candidate search: fused Pallas kernel on TPU f32, jnp elsewhere
+    use_pallas = USE_PALLAS and dtype == jnp.float32 and _on_tpu()
+    if use_pallas:
+        from ohm_tsd_slam_tpu.ops.raycast_pallas import (
+            pack_beams,
+            pack_segments,
+            segment_min_pallas,
+        )
+
+        segpack, seg_count = pack_segments(p0, p1, svalid, tr)
+
+        def candidates(t_after):
+            t = segment_min_pallas(
+                segpack, pack_beams(ray, lo, hi, t_after), seg_count)
+            return t[:B]
+    else:
+        def candidates(t_after):
+            return _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
+                                       t_after)
+
+    # round 1: all beams
+    t_1 = candidates(lo)
+    has = jnp.isfinite(t_1) & feasible
+    k_1 = jnp.where(has, t_1, 0.0)
+    hit, any_1, pos_ev, interp = _window_events(
+        grid, tr, ray, idx_min, idx_max, k_1, has)
+    resolved = any_1 | ~has
+    t_search = jnp.maximum(lo, k_1 + cover)
+
+    # rounds 2..ROUNDS: compacted unresolved beams only
+
+    for _ in range(ROUNDS - 1):
+        t_r = candidates(jnp.where(resolved, jnp.inf, t_search))
+        need = jnp.isfinite(t_r) & ~resolved
+        n_need = jnp.sum(need, dtype=jnp.int32)
+        n_dropped = n_dropped + jnp.maximum(n_need - UNRESOLVED_CAP, 0)
+        need_pad = jnp.pad(need, (0, (-B) % 128))
+        idx_u, uvalid = compact_mask(need_pad, UNRESOLVED_CAP)
+        idx_u = jnp.minimum(idx_u, B - 1)
+        k_u = jnp.where(uvalid, t_r[idx_u], 0.0)
+        hit_u, any_u, pos_u, int_u = _window_events(
+            grid, tr, ray[idx_u], idx_min[idx_u], idx_max[idx_u],
+            k_u, uvalid)
+        take_u = any_u & uvalid
+        # scatter back; pad slots target out-of-range B and are dropped
+        # (their idx 0 placeholder could collide with a real beam-0 slot)
+        idx_w = jnp.where(uvalid, idx_u, B)
+        hit = hit.at[idx_w].set(jnp.where(take_u, hit_u, hit[idx_u]),
+                                mode="drop")
+        pos_ev = pos_ev.at[idx_w].set(
+            jnp.where(take_u[:, None], pos_u, pos_ev[idx_u]), mode="drop")
+        interp = interp.at[idx_w].set(
+            jnp.where(take_u, int_u, interp[idx_u]), mode="drop")
+        resolved = resolved.at[idx_w].set(
+            resolved[idx_u] | take_u, mode="drop")
+        resolved = resolved | ~need
+        t_search = jnp.maximum(t_search, jnp.where(jnp.isfinite(t_r),
+                                                   t_r + cover, t_search))
 
     coords_w = pos_ev + ray * (interp[:, None] - 1.0)
 

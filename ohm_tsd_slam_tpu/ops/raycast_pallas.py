@@ -1,0 +1,165 @@
+"""Pallas TPU kernel for the raycast candidate search (the per-scan hot
+reduction of grid/raycast_fast.py).
+
+The isocontour caster's candidate search evaluates, for every
+(segment, beam) pair, a ray-segment intersection and takes the earliest
+hit per beam.  In plain XLA the [S, B] intermediates (denom, u, t, masks
+— S = 32768, B ~ 1088, ~140 MB each in f32) are materialized in HBM
+between the dot and the reduction, which makes the search
+bandwidth-bound.  This kernel fuses the whole thing: each (beam-block,
+segment-block) program computes the intersection plane for its tile in
+VMEM via two MXU dots ([S_BLK, 8] @ [8, B_BLK]) and folds it straight
+into a running per-beam minimum — nothing bigger than a [S_BLK, B_BLK]
+tile ever exists, and the only HBM traffic is the segment pack
+(S x 8 floats, read once per beam block) and the [8, B] output.
+
+Layout:
+  seg pack A [S, 8]   rows: ex, ey, d0x, d0y, c0, valid, eps, 0
+  beams     [8, B]    rows: rayx, rayy, lo, hi, t_after, 0, 0, 0
+  out       [8, B]    row 0 = min t (inf = none)
+
+where, for segment (p0, p1) and beam step vector ray (unit * cellsize):
+  e = p1 - p0, d0 = p0 - tr, c0 = cross(d0, e),
+  denom = cross(ray, e) = A @ [-rayy; rayx; 0...],
+  c1 = cross(ray, d0)   = A @ [0; 0; -rayy; rayx; 0...],
+  t = c0 / denom, u = -c1 / denom,
+  candidate iff |denom| > eps, u in [0, 1], t in [max(lo, t_after), hi].
+
+Built (and tested in interpret mode) against the jnp reference
+implementation in grid/raycast_fast.py::_segment_candidates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+S_BLK = 2048
+B_BLK = 128
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _kernel(nc_ref, seg_ref, beam_ref, out_ref):
+    # the full segment pack is VMEM-resident (S x 8 f32 = 1 MB at the
+    # 32768 cap); loop its chunks inside one program per beam block so
+    # per-program overhead is paid nb times, not nb*ns times.  The loop
+    # bound is the RUNTIME chunk count (compaction places all real
+    # segments first): a scene with 4k segments does 2 chunks, not 16.
+    n_s = nc_ref[0]
+    rayx = beam_ref[0:1, :]                       # [1, B_BLK]
+    rayy = beam_ref[1:2, :]
+    lo = beam_ref[2:3, :]
+    hi = beam_ref[3:4, :]
+    t_after = beam_ref[4:5, :]
+
+    zeros = jnp.zeros_like(rayx)
+    Bd = jnp.concatenate([-rayy, rayx, zeros, zeros,
+                          zeros, zeros, zeros, zeros], axis=0)  # [8, B]
+    Bc = jnp.concatenate([zeros, zeros, -rayy, rayx,
+                          zeros, zeros, zeros, zeros], axis=0)
+
+    def body(j, acc):
+        A = seg_ref[pl.ds(j * S_BLK, S_BLK), :]   # [S_BLK, 8]
+        denom = jnp.dot(A, Bd, preferred_element_type=jnp.float32)
+        c1 = jnp.dot(A, Bc, preferred_element_type=jnp.float32)
+        c0 = A[:, 4:5]                            # [S_BLK, 1]
+        valid = A[:, 5:6]
+        eps = A[:, 6:7]
+        ok_denom = jnp.abs(denom) > eps
+        safe = jnp.where(ok_denom, denom, 1.0)
+        t = c0 / safe
+        u = -c1 / safe
+        ok = ((valid > 0.0) & ok_denom & (u >= 0.0) & (u <= 1.0)
+              & (t >= lo) & (t <= hi) & (t >= t_after))
+        tmin = jnp.min(jnp.where(ok, t, jnp.inf), axis=0, keepdims=True)
+        return jnp.minimum(acc, tmin)
+
+    acc = jnp.full((1, out_ref.shape[1]), jnp.inf, jnp.float32)
+    acc = jax.lax.fori_loop(0, n_s, body, acc)
+    out_ref[:] = jnp.broadcast_to(acc, out_ref.shape)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def segment_min_pallas(segpack: jnp.ndarray, beams: jnp.ndarray,
+                       count: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused candidate min-reduction.
+
+    Args:
+      segpack: [S, 8] f32 (see module docstring); S % S_BLK == 0 after
+        padding by the caller (pad rows with valid = 0), real segments
+        first.
+      beams: [8, B] f32; B % B_BLK == 0 (pad columns with lo > hi).
+      count: scalar i32 — number of real segments.
+    Returns:
+      [B] f32 min t per beam (inf = no candidate).
+    """
+    S = segpack.shape[0]
+    B = beams.shape[1]
+    assert S % S_BLK == 0 and B % B_BLK == 0, (S, B)
+    nb = B // B_BLK
+    n_chunks = jnp.clip((count + S_BLK - 1) // S_BLK, 0, S // S_BLK)
+    n_chunks = n_chunks.astype(jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((S, 8), lambda b, nc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B_BLK), lambda b, nc: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, B_BLK), lambda b, nc: (0, b),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, B), jnp.float32),
+        interpret=interpret,
+    )(n_chunks, segpack, beams)
+    return out[0]
+
+
+def pack_segments(p0, p1, svalid, tr, dtype=jnp.float32):
+    """Build the [S, 8] segment pack (padded to S_BLK) + real count."""
+    e = (p1 - p0).astype(dtype)
+    d0 = (p0 - tr).astype(dtype)
+    c0 = d0[:, 0] * e[:, 1] - d0[:, 1] * e[:, 0]
+    eps_rel = 1e-6
+    eps = eps_rel * jnp.maximum(jnp.linalg.norm(e, axis=1), 1e-30)
+    S = p0.shape[0]
+    pad = (-S) % S_BLK
+    A = jnp.stack([e[:, 0], e[:, 1], d0[:, 0], d0[:, 1], c0,
+                   svalid.astype(dtype), eps, jnp.zeros_like(c0)], axis=-1)
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, 0)))
+    return A, jnp.sum(svalid, dtype=jnp.int32)
+
+
+def pack_beams(ray, lo, hi, t_after, dtype=jnp.float32):
+    """Build the [8, B] beam pack (padded to B_BLK; pads can never match
+    since their clip window is empty)."""
+    B = ray.shape[0]
+    pad = (-B) % B_BLK
+    rows = jnp.stack([ray[:, 0].astype(dtype), ray[:, 1].astype(dtype),
+                      lo.astype(dtype), hi.astype(dtype),
+                      t_after.astype(dtype)], axis=0)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((3, B), dtype)], axis=0)
+    if pad:
+        padcol = jnp.zeros((8, pad), dtype)
+        padcol = padcol.at[2].set(1.0)    # lo = 1 > hi = 0 -> empty window
+        rows = jnp.concatenate([rows, padcol], axis=1)
+    return rows

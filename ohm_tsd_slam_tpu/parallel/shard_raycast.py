@@ -1,0 +1,266 @@
+"""Spatially-sharded raycast: explicit shard_map + halo exchange.
+
+The TSD grid's rows are sharded over the mesh's "sp" axis (the tile-row
+analogue of the reference's per-partition OpenMP decomposition,
+TsdGrid.cpp:228-232).  A beam's march crosses many row shards, which in a
+naive port would force a full all-gather of the grid per scan.  The
+isocontour formulation of grid/raycast_fast.py decomposes cleanly
+instead:
+
+  1. **halo exchange** (the propagateBorders analogue, TsdGrid.cpp:
+     372-427): each shard receives HALO rows from its row-neighbors over
+     ICI with `jax.lax.ppermute` — enough context for marching squares
+     on boundary quads and for the window replay around any candidate it
+     owns;
+  2. **local isocontour extraction**: every shard runs marching squares
+     + compaction on its own quads only (quads attributed to their lower
+     row, so no segment is emitted twice);
+  3. **local candidate search** ([S_local, B] intersection + min) —
+     the per-(segment, beam) work parallelizes over shards;
+  4. **global candidate**: one `jax.lax.pmin` over "sp" per round — the
+     only cross-chip reduction, B floats;
+  5. **owned window replay**: the shard whose rows contain the global
+     candidate replays the exact march window from its halo'd block and
+     publishes the result with a `psum` (each beam has at most one
+     owner).
+
+Per-scan communication: 2 x HALO x W floats of halo (ppermute) plus
+ROUNDS x B floats of reductions — independent of grid height per chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.grid import raycast_fast as rf
+from ohm_tsd_slam_tpu.grid.raycast import RaycastResult
+from ohm_tsd_slam_tpu.grid.render import _bilinear_raw
+from ohm_tsd_slam_tpu.grid.state import TsdGrid
+from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D
+
+# halo rows exchanged per side: window replay reach (WINDOW steps of one
+# cell) + bilinear/normal stencils
+HALO = rf.WINDOW + 4
+
+
+def _halo_exchange(tsd_local: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """[h, W] -> [h + 2*HALO, W] with neighbor rows over `axis`
+    (edge shards pad with NaN = unobserved)."""
+    n = jax.lax.psum(1, axis)
+    idx = jax.lax.axis_index(axis)
+    up = jax.lax.ppermute(tsd_local[-HALO:, :], axis,
+                          [(i, (i + 1) % n) for i in range(n)])
+    down = jax.lax.ppermute(tsd_local[:HALO, :], axis,
+                            [(i, (i - 1) % n) for i in range(n)])
+    nan = jnp.nan
+    up = jnp.where(idx == 0, nan, up)          # nothing below shard 0
+    down = jnp.where(idx == n - 1, nan, down)  # nothing above the last
+    return jnp.concatenate([up, tsd_local, down], axis=0)
+
+
+def _local_window_events(tsd_halo, cell_size, y0_world, tr, ray,
+                         idx_min, idx_max, k_cand, has_cand):
+    """Exact march window replay (grid/raycast_fast.py::_window_events)
+    against the local halo'd block; positions are shifted into block
+    coordinates.  NaN-only bilinear semantics (EMPTYPARTITION and ISNAN
+    both yield an invalid sample in the replay, so the tile codes are
+    not needed)."""
+    dtype = ray.dtype
+    m_start = jnp.maximum(jnp.floor(k_cand - idx_min) - rf.BACKOFF, 0.0)
+    j = jnp.arange(rf.WINDOW, dtype=dtype)
+    t_w = idx_min[:, None] + m_start[:, None] + j[None, :]
+    pos = tr + t_w[..., None] * ray[:, None, :]
+    pos_local = pos - jnp.array([0.0, y0_world], dtype)
+    v, ok = _bilinear_raw(tsd_halo, pos_local, cell_size)
+    v = jnp.where(ok, v, jnp.nan)
+
+    sample_ok = (t_w[:, 1:] - 1.0) <= idx_max[:, None]
+    v_prev = v[:, :-1]
+    v_cur = v[:, 1:]
+    ev_pos = (v_prev > 0) & (v_cur < 0) & sample_ok
+    ev_neg = (v_prev < 0) & (v_cur > 0) & sample_ok
+    ev = ev_pos | ev_neg
+    any_ev = jnp.any(ev, axis=1) & has_cand
+    k_ev = jnp.argmax(ev, axis=1)
+    hit = any_ev & jnp.take_along_axis(ev_pos, k_ev[:, None], 1)[:, 0]
+
+    vp = jnp.take_along_axis(v_prev, k_ev[:, None], 1)[:, 0]
+    vc = jnp.take_along_axis(v_cur, k_ev[:, None], 1)[:, 0]
+    interp = vp / (vp - vc)
+    pos_ev = jnp.take_along_axis(pos[:, 1:, :], k_ev[:, None, None], 1)[:, 0]
+    return hit, any_ev, pos_ev, interp
+
+
+def _local_normals(tsd_halo, cell_size, y0_world, coords_w):
+    """interpolateNormal (TsdGrid.cpp:517-546) on the local block."""
+    dtype = coords_w.dtype
+    s = cell_size
+    shift = jnp.array([0.0, y0_world], dtype)
+    p = coords_w - shift
+
+    def tap(dx, dy):
+        return _bilinear_raw(tsd_halo, p + jnp.array([dx, dy], dtype),
+                             s)
+
+    vxp, oxp = tap(s, 0.0)
+    vxm, oxm = tap(-s, 0.0)
+    vyp, oyp = tap(0.0, s)
+    vym, oym = tap(0.0, -s)
+    ok = oxp & oxm & oyp & oym
+    n = jnp.stack([vxp - vxm, vyp - vym], axis=-1)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.where(norm > 0, norm, 1.0)
+    return n, ok & (norm[..., 0] > 0)
+
+
+def _sharded_raycast_body(geom: SensorPolar2D, cell_size: float,
+                          cells_x: int, cells_y: int, axis: str,
+                          tsd_local, pose, out_template):
+    """shard_map body: tsd_local [h, W]; pose replicated."""
+    dtype = tsd_local.dtype
+    s = cell_size
+    B = geom.size
+    n = jax.lax.psum(1, axis)
+    idx_sp = jax.lax.axis_index(axis)
+    h = tsd_local.shape[0]
+    y0_rows = idx_sp * h                       # first owned row
+    halo_y0_world = (y0_rows - HALO) * s       # world y of halo row 0
+
+    rays_local = geom.rays_local(dtype)
+    rays_world = se2.rotate_vectors(pose.astype(dtype), rays_local)
+    ray = rays_world * s
+    tr = se2.translation(pose).astype(dtype)
+
+    # ---- per-beam clipping (identical to raycast_fast) ------------------
+    inside = ((tr[0] > 0) & (tr[0] < cells_x * s)
+              & (tr[1] > 0) & (tr[1] < cells_y * s))
+    big = jnp.asarray(10e9, dtype)
+    def_min = jnp.where(inside, -big, big)
+    def_max = jnp.where(inside, big, -big)
+    xdim = (cells_x - 1) * s
+    ydim = (cells_y - 1) * s
+    rx, ry = ray[:, 0], ray[:, 1]
+    use_x = jnp.abs(rx) > 10e-6
+    use_y = jnp.abs(ry) > 10e-6
+    xmin = jnp.where(use_x, (jnp.where(rx > 0., 0., xdim) - tr[0]) / rx, def_min)
+    ymin = jnp.where(use_y, (jnp.where(ry > 0., 0., ydim) - tr[1]) / ry, def_min)
+    xmax = jnp.where(use_x, (jnp.where(rx > 0., xdim, 0.) - tr[0]) / rx, def_max)
+    ymax = jnp.where(use_y, (jnp.where(ry > 0., ydim, 0.) - tr[1]) / ry, def_max)
+    idx_min = jnp.maximum(jnp.maximum(xmin, ymin), 0.0)
+    idx_min = jnp.maximum(idx_min, geom.min_range / s)
+    idx_max = jnp.minimum(jnp.minimum(xmax, ymax), geom.max_range / s)
+    feasible = idx_min < idx_max
+
+    # ---- halo exchange + local isocontour -------------------------------
+    tsd_halo = _halo_exchange(tsd_local, axis)             # [h+2H, W]
+
+    # local marching squares over quads with lower row in
+    # [y0_rows, y0_rows + h): block = own rows + ONE halo row above, so
+    # every quad is emitted by exactly the shard owning its lower row
+    # (boundary-seam virtual edge segments may be emitted twice — the
+    # duplicate intersections are identical and the min is unaffected)
+    block = tsd_halo[HALO:HALO + h + 1, :]
+    fake = TsdGrid(
+        tsd=block, weight=jnp.zeros_like(block),
+        tile_init=jnp.ones((1, 1), bool),
+        tile_initw=jnp.zeros((1, 1), dtype),
+        cell_size=s, max_truncation=0.0, max_weight=0.0, tile_dim=1)
+    p0, p1, own, n_dropped = rf._isocontour_segments(fake)
+    # shift into world coordinates
+    shift = jnp.array([0.0, y0_rows * s], dtype)
+    p0 = p0 + shift
+    p1 = p1 + shift
+
+    lo = jnp.maximum(jnp.floor(idx_min) - 1.0, 0.0)
+    hi = jnp.ceil(idx_max) + 1.0
+    cover = rf.WINDOW - rf.BACKOFF - 2.0
+
+    t_search = lo
+    resolved = jnp.zeros((B,), bool)
+    hit = jnp.zeros((B,), bool)
+    pos_ev = jnp.zeros((B, 2), dtype)
+    interp = jnp.zeros((B,), dtype)
+    ownmask = jnp.zeros((B,), bool)
+
+    for _ in range(rf.ROUNDS):
+        t_loc = rf._segment_candidates(p0, p1, own, tr, ray, lo, hi,
+                                       jnp.where(resolved, jnp.inf,
+                                                 t_search))
+        t_r = jax.lax.pmin(t_loc, axis)                    # global min
+        has = jnp.isfinite(t_r) & feasible & ~resolved
+        k_r = jnp.where(has, t_r, 0.0)
+
+        # owner: candidate world row within this shard's rows
+        y_c = tr[1] + k_r * ray[:, 1]
+        row_c = y_c / s - 0.5
+        owner = has & (row_c >= y0_rows) & (row_c < y0_rows + h)
+
+        hit_r, any_r, pos_r, int_r = _local_window_events(
+            tsd_halo, s, halo_y0_world, tr, ray, idx_min, idx_max,
+            k_r, owner)
+        # publish owned results (at most one owner per beam)
+        hit_r = jax.lax.psum(
+            jnp.where(owner, hit_r, False).astype(jnp.int32), axis) > 0
+        any_r = jax.lax.psum(
+            jnp.where(owner, any_r, False).astype(jnp.int32), axis) > 0
+        pos_r = jax.lax.psum(jnp.where(owner[:, None], pos_r, 0.0), axis)
+        int_r = jax.lax.psum(jnp.where(owner, int_r, 0.0), axis)
+
+        take = any_r & ~resolved
+        hit = jnp.where(take, hit_r, hit)
+        pos_ev = jnp.where(take[:, None], pos_r, pos_ev)
+        interp = jnp.where(take, int_r, interp)
+        ownmask = jnp.where(take, owner, ownmask)
+        resolved = resolved | take | ~has
+        t_search = jnp.maximum(t_search, k_r + cover)
+
+    coords_w = pos_ev + ray * (interp[:, None] - 1.0)
+
+    # normals at the crossing, computed by the owning shard
+    n_loc, n_ok_loc = _local_normals(tsd_halo, s, halo_y0_world, coords_w)
+    normals_w = jax.lax.psum(jnp.where(ownmask[:, None], n_loc, 0.0),
+                             axis)
+    n_ok = jax.lax.psum(
+        jnp.where(ownmask, n_ok_loc, False).astype(jnp.int32), axis) > 0
+
+    mask = feasible & hit & n_ok
+    Tinv = se2.invert(pose.astype(dtype))
+    coords_s = se2.transform_points(Tinv, coords_w)
+    normals_s = se2.rotate_vectors(Tinv, normals_w)
+    zero = jnp.zeros_like(coords_s)
+    coords_s = jnp.where(mask[:, None], coords_s, zero)
+    normals_s = jnp.where(mask[:, None], normals_s, zero)
+    ranges = jnp.linalg.norm(coords_s, axis=-1)
+    nd = jax.lax.psum(n_dropped, axis)
+    return RaycastResult(coords_s, normals_s, mask, ranges, nd)
+
+
+def sharded_raycast(mesh: Mesh, grid: TsdGrid, geom: SensorPolar2D,
+                    pose: jnp.ndarray, axis: str = "sp") -> RaycastResult:
+    """Raycast against a row-sharded grid without gathering it.
+
+    grid.tsd must be sharded P((axis), None); pose replicated.  Returns
+    replicated beam-aligned outputs (identical semantics to
+    raycast_fast on the gathered grid; asserted in tests).
+    """
+    body = partial(_sharded_raycast_body, geom, float(grid.cell_size),
+                   grid.cells_x, grid.cells_y, axis)
+    fn = shard_map(
+        lambda tsd, pose: body(tsd, pose, None),
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(),
+    )
+    return fn(grid.tsd, pose)

@@ -25,11 +25,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ohm_tsd_slam_tpu.config import RegMode
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.interpolate import interpolate_bilinear_safe
 from ohm_tsd_slam_tpu.grid.push import push
-from ohm_tsd_slam_tpu.grid.raycast import raycast
+from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
+from ohm_tsd_slam_tpu.registration.gauss_newton import match_gauss_newton
 from ohm_tsd_slam_tpu.registration.icp import IcpParams, icp
 from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D, data_to_cartesian
 from ohm_tsd_slam_tpu.slam.localize import (
@@ -89,16 +91,27 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
     geom = params.geom
 
     def localize_one(pose, d, m):
-        model = raycast(grid, geom, pose)
         scene, smask = data_to_cartesian(geom, d, m)
-        res = icp(model.coords, model.mask, scene, smask, params.icp,
-                  sensor_pose=pose)
-        err = is_registration_error(res.T, params.trns_max,
-                                    params.rot_max)
-        err = err | (jnp.sum(model.mask) == 0)
-        new_pose = jnp.where(err, pose, pose @ res.T)
+        if params.mode == int(RegMode.GN):
+            # direct scan-to-map Gauss-Newton: no raycast, no NN
+            gn = match_gauss_newton(grid, pose, scene, smask, params.gn)
+            T = gn.T
+            err = is_registration_error(T, params.trns_max,
+                                        params.rot_max)
+            err = err | (gn.matches < params.gn.min_matches)
+            rms = gn.rms
+        else:
+            model = raycast_fast(grid, geom, pose)
+            res = icp(model.coords, model.mask, scene, smask, params.icp,
+                      sensor_pose=pose, model_normals=model.normals)
+            T = res.T
+            err = is_registration_error(T, params.trns_max,
+                                        params.rot_max)
+            err = err | (jnp.sum(model.mask) == 0)
+            rms = res.rms
+        new_pose = jnp.where(err, pose, pose @ T)
         grad = pose_gradient(grid, geom, new_pose, d, m)
-        return new_pose, err, grad, res.rms
+        return new_pose, err, grad, rms
 
     new_poses, errs, grads, rms = jax.vmap(localize_one)(poses, data, mask)
 

@@ -1,0 +1,136 @@
+"""Pallas candidate-search kernel vs the jnp reference (interpret mode).
+
+The on-chip (Mosaic-compiled) equivalence is asserted by bench.py, which
+compares raycast_fast with USE_PALLAS on/off on the real TPU.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ohm_tsd_slam_tpu.config import GridConfig
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.grid import create, push
+from ohm_tsd_slam_tpu.grid import raycast_fast as rf
+from ohm_tsd_slam_tpu.ops.raycast_pallas import (
+    pack_beams,
+    pack_segments,
+    segment_min_pallas,
+)
+from ohm_tsd_slam_tpu.sensor import polar2d
+from ohm_tsd_slam_tpu.utils.testing import rect_walls, simulate_scan
+
+CFG = GridConfig(map_size=8, cellsize=0.04)
+GEOM = dict(size=361, angular_res=math.radians(0.75),
+            phi_min=math.radians(-135.0), max_range=9.0,
+            min_range=0.01, low_reflectivity_range=1.0)
+
+
+def _scene():
+    geom = polar2d.SensorPolar2D(**GEOM)
+    grid = create(CFG, dtype=jnp.float32)
+    walls = rect_walls(1.5, 1.5, 8.5, 8.5)
+    for pose_xyt in [(5.12, 5.12, 0.2), (5.3, 5.2, 0.5)]:
+        pose = np.array(se2.make(*pose_xyt, dtype=jnp.float64))
+        r = simulate_scan(pose, GEOM["size"], GEOM["angular_res"],
+                          GEOM["phi_min"], GEOM["max_range"],
+                          segments=walls,
+                          circles=[((7.0, 7.2), 0.5), ((3.0, 7.5), 0.35)])
+        data, mask = polar2d.standard_mask(geom, jnp.asarray(r, jnp.float32))
+        grid = push(grid, geom, jnp.asarray(pose, jnp.float32), data, mask)
+    return grid, geom
+
+
+def test_kernel_matches_jnp_candidates():
+    grid, geom = _scene()
+    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), jnp.float32)
+    dtype = jnp.float32
+    s = grid.cell_size
+    B = geom.size
+    rays_world = se2.rotate_vectors(pose, geom.rays_local(dtype))
+    ray = rays_world * s
+    tr = se2.translation(pose)
+    lo = jnp.zeros(B, dtype)
+    hi = jnp.full(B, 400.0, dtype)
+
+    p0, p1, sv, nd = rf._isocontour_segments(grid)
+    assert int(nd) == 0
+
+    for t_after_val in (0.0, 50.0):
+        t_after = jnp.full(B, t_after_val, dtype)
+        ref = rf._segment_candidates(p0, p1, sv, tr, ray, lo, hi, t_after)
+        segpack, count = pack_segments(p0, p1, sv, tr)
+        assert int(count) == int(sv.sum())
+        beams = pack_beams(ray, lo, hi, t_after)
+        got = segment_min_pallas(segpack, beams, count, interpret=True)[:B]
+
+        ref_n = np.array(ref)
+        got_n = np.array(got)
+        np.testing.assert_array_equal(np.isfinite(ref_n),
+                                      np.isfinite(got_n))
+        fin = np.isfinite(ref_n)
+        np.testing.assert_allclose(got_n[fin], ref_n[fin], rtol=1e-5)
+
+
+def test_kernel_count_truncation_excludes_tail():
+    """Segments past `count` must not contribute (the runtime chunk-count
+    loop bound)."""
+    grid, geom = _scene()
+    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), jnp.float32)
+    dtype = jnp.float32
+    B = geom.size
+    rays_world = se2.rotate_vectors(pose, geom.rays_local(dtype))
+    ray = rays_world * grid.cell_size
+    tr = se2.translation(pose)
+    lo = jnp.zeros(B, dtype)
+    hi = jnp.full(B, 400.0, dtype)
+
+    p0, p1, sv, _ = rf._isocontour_segments(grid)
+    segpack, count = pack_segments(p0, p1, sv, tr)
+    beams = pack_beams(ray, lo, hi, lo)
+
+    full = segment_min_pallas(segpack, beams, count, interpret=True)
+    none = segment_min_pallas(segpack, beams, jnp.int32(0), interpret=True)
+    assert np.isfinite(np.array(full)).sum() > 0
+    assert not np.isfinite(np.array(none)).any()
+
+
+def test_compact_kernel_matches_jnp(monkeypatch):
+    """ops/compact_pallas.py (interpret) vs grid/compact.py on the real
+    segment layers of a pushed grid."""
+    from ohm_tsd_slam_tpu.grid.compact import compact_mask_values
+    from ohm_tsd_slam_tpu.ops.compact_pallas import compact_channels_pallas
+
+    grid, geom = _scene()
+    mask, chans = rf._segment_layers(grid)
+    assert mask.shape[0] % (512 * 128) == 0
+
+    K = 1024
+    _, vals, valid = compact_mask_values(mask, chans, K)
+    packed, count = compact_channels_pallas(mask, chans, K,
+                                            interpret=True)
+    assert int(count) == int(mask.sum())
+    n = min(int(count), K)
+    got_valid = np.array(packed[4, :K] > 0)
+    np.testing.assert_array_equal(got_valid, np.array(valid))
+    for ch in range(4):
+        np.testing.assert_allclose(np.array(packed[ch, :K])[got_valid],
+                                   np.array(vals[ch])[np.array(valid)],
+                                   rtol=0, atol=0)
+
+
+def test_compact_kernel_overflow_drops_and_counts():
+    from ohm_tsd_slam_tpu.ops.compact_pallas import compact_channels_pallas
+
+    grid, geom = _scene()
+    mask, chans = rf._segment_layers(grid)
+    total = int(mask.sum())
+    K = 128
+    assert total > K
+    packed, count = compact_channels_pallas(mask, chans, K,
+                                            interpret=True)
+    assert int(count) == total
+    # stored slots limited to capacity (plus the slack column block)
+    assert int((packed[4] > 0).sum()) <= K + 128

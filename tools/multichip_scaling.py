@@ -1,0 +1,166 @@
+"""Multi-device scaling analysis (SURVEY §5.7/§5.8; VERDICT r1 #3).
+
+Real multi-chip hardware is not available in this image (one tunneled
+TPU chip; the host has ~2 CPU cores, so virtual-CPU-device wall-clock
+"scaling" only measures core contention).  What CAN be established
+rigorously here, per device count n in {1, 2, 4, 8}:
+
+  * **partitioning**: the per-device footprint of the sharded step —
+    argument + output + temp bytes from the compiled executable's
+    memory analysis — must shrink ~1/n for the grid-dominated arrays
+    (proves the grid genuinely stays sharded; no silent all-gather);
+  * **communication volume**: collective ops and their operand bytes,
+    counted from the optimized HLO — for the shard_map raycast this must
+    stay O(halo + beams) per step, independent of the grid rows per
+    chip; for the GSPMD push it must be zero (tile updates are local);
+  * **correctness**: sharded outputs equal the single-device reference
+    (asserted in tests/test_parallel.py).
+
+Writes MULTICHIP_SCALING.json at the repo root.
+
+Run:  python tools/multichip_scaling.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import sys, time, json, math, dataclasses, re
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+n = %(n)d
+from ohm_tsd_slam_tpu.config import GridConfig
+from ohm_tsd_slam_tpu.core import se2
+from ohm_tsd_slam_tpu.grid import create, push
+from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
+from ohm_tsd_slam_tpu.parallel.shard_raycast import sharded_raycast, HALO
+from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D, standard_mask
+from ohm_tsd_slam_tpu.utils.testing import rect_walls, simulate_scan
+
+cfg = GridConfig(map_size=9, cellsize=0.025)      # 512^2
+gw = cfg.size_meters
+B = 1081
+geom = SensorPolar2D(size=B, angular_res=math.radians(270.0 / B),
+                     phi_min=math.radians(-135.0), max_range=12.0,
+                     min_range=0.01, low_reflectivity_range=2.0)
+pose_np = np.array(se2.make(gw/2, gw/2, 0.1, dtype=np.float64))
+walls = rect_walls(1.5, 1.5, gw-1.5, gw-1.5)
+ranges = simulate_scan(pose_np, B, geom.angular_res, geom.phi_min,
+                       geom.max_range, segments=walls,
+                       circles=[((gw/2+3, gw/2+3), 0.5)])
+pose = jnp.asarray(pose_np, jnp.float32)
+data, mask = standard_mask(geom, jnp.asarray(ranges, jnp.float32))
+grid = create(cfg, dtype=jnp.float32)
+grid = push(grid, geom, pose, data, mask)
+jax.block_until_ready(grid.tsd)
+
+devices = np.array(jax.devices("cpu")[:n])
+mesh = Mesh(devices.reshape(n, 1), ("sp", "dp"))
+res = {}
+
+COLL = re.compile(r"(all-gather|all-reduce|collective-permute|"
+                  r"reduce-scatter|all-to-all)")
+
+def analyze(lowered, compiled):
+    mem = compiled.memory_analysis()
+    hlo = compiled.as_text()
+    colls = {}
+    for line in hlo.splitlines():
+        m = COLL.search(line)
+        if m and "=" in line:
+            colls[m.group(1)] = colls.get(m.group(1), 0) + 1
+    return {
+        "argument_bytes_per_device": int(mem.argument_size_in_bytes),
+        "output_bytes_per_device": int(mem.output_size_in_bytes),
+        "temp_bytes_per_device": int(mem.temp_size_in_bytes),
+        "collectives": colls,
+    }
+
+gshard = NamedSharding(mesh, P("sp", None))
+tshard = NamedSharding(mesh, P("sp", None))
+grid_sp = dataclasses.replace(
+    grid,
+    tsd=jax.device_put(grid.tsd, gshard),
+    weight=jax.device_put(grid.weight, gshard),
+    tile_init=jax.device_put(grid.tile_init, tshard),
+    tile_initw=jax.device_put(grid.tile_initw, tshard),
+)
+
+# --- sp-push (GSPMD): updates are tile-local -> zero collectives -----
+push_l = jax.jit(lambda g: push(g, geom, pose, data, mask)).lower(grid_sp)
+push_c = push_l.compile()
+out = push_c(grid_sp)
+assert out.tsd.sharding.is_equivalent_to(gshard, out.tsd.ndim), \
+    str(out.tsd.sharding)
+res["sp_push"] = analyze(push_l, push_c)
+
+# --- sp-raycast (shard_map): halo exchange + pmin + owned replay -----
+ray_l = jax.jit(
+    lambda g, p: sharded_raycast(mesh, g, geom, p)).lower(grid_sp, pose)
+ray_c = ray_l.compile()
+r = ray_c(grid_sp, pose)
+jax.block_until_ready(r)
+res["sp_raycast"] = analyze(ray_l, ray_c)
+res["sp_raycast"]["halo_rows"] = HALO
+res["sp_raycast"]["hits"] = int(np.asarray(r.mask).sum())
+
+print(json.dumps(res))
+"""
+
+
+def run(n):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count={n}"
+                        ).strip()
+    code = WORKER % {"repo": REPO, "n": n}
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"worker n={n} failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    results = {}
+    for n in (1, 2, 4, 8):
+        results[str(n)] = run(n)
+        print(n, json.dumps(results[str(n)]), flush=True)
+
+    # partitioning check: grid-dominated argument bytes must shrink
+    base = results["1"]
+    part = {}
+    for n in (2, 4, 8):
+        r = results[str(n)]
+        part[str(n)] = {
+            k: round(base[k]["argument_bytes_per_device"]
+                     / max(r[k]["argument_bytes_per_device"], 1), 2)
+            for k in ("sp_push", "sp_raycast")
+        }
+    results["argument_shrink_factor"] = part
+    results["note"] = (
+        "virtual CPU devices on a 2-core host: wall-clock scaling is "
+        "not measurable here (devices share cores); this artifact "
+        "proves partitioning (per-device bytes shrink ~1/n) and bounded "
+        "communication (collective op counts; push has none, raycast "
+        "exchanges HALO rows + O(beams) reductions). Correctness of the "
+        "sharded paths vs single-device is asserted in "
+        "tests/test_parallel.py. Grid 512^2 f32, 1081-beam scan.")
+    path = os.path.join(REPO, "MULTICHIP_SCALING.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
