@@ -202,10 +202,26 @@ class Timer:
             self._h = None
 
 
+def timestamped_log_path(base: str) -> str:
+    """The reference's log-file naming: `<base>_<d>_<m>_<Y>_<H>-<M>-<S>.log`
+    (Logger::configure, obcore/base/Logger.cpp:76-89)."""
+    import time as _time
+
+    t = _time.localtime()
+    return (f"{base}_{t.tm_mday}_{t.tm_mon}_{t.tm_year}_"
+            f"{t.tm_hour}-{t.tm_min}-{t.tm_sec}.log")
+
+
 def logger_configure(screen_level: int = LOG_WARN,
                      file_level: int = -1,
-                     path: str = "") -> None:
-    """Configure the global logger sinks (Logger.h:123-140)."""
+                     path: str = "",
+                     timestamped: bool = False) -> None:
+    """Configure the global logger sinks (Logger.h:123-140).
+
+    With `timestamped`, the file name gets the reference's
+    date/time suffix (Logger.cpp:76-89)."""
+    if timestamped and path:
+        path = timestamped_log_path(path)
     if NATIVE:
         _LIB.logger_configure(screen_level, file_level, path.encode())
     else:

@@ -59,6 +59,11 @@ class IcpResult(NamedTuple):
     # per-iteration history (for the Trace subsystem; zeros after exit)
     rms_history: jnp.ndarray
     pair_history: jnp.ndarray
+    # per-iteration pair assignments ([iters, S] model index / active
+    # mask), populated when IcpParams.record_pairs (Trace's
+    # addAssignment pair payload, Trace.cpp:123-142)
+    pair_idx_history: jnp.ndarray = None
+    pair_mask_history: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -79,6 +84,9 @@ class IcpParams:
     # "closed_form" (ClosedFormEstimator2D, the reference default) or
     # "point_to_line" (PointToLine2DEstimator; needs model normals)
     estimator: str = "closed_form"
+    # record per-iteration pair assignments for the Trace subsystem
+    # (costly: [iters, S] extra outputs — off by default)
+    record_pairs: bool = False
 
     @staticmethod
     def from_config(cfg: IcpConfig, bounds=None) -> "IcpParams":
@@ -181,18 +189,25 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
         hist = (jnp.where(done, jnp.nan, rms),
                 jnp.where(done, 0, npairs),
                 jnp.where(done, 0, 1))
+        if params.record_pairs:
+            hist = hist + (idx.astype(jnp.int32),
+                           pmask & ~done)
         return (out_T, out_rms, out_conv, new_done, out_state), hist
 
     init = (T_init, jnp.asarray(10e12, dtype), jnp.asarray(0, jnp.int32),
             jnp.asarray(False), jnp.asarray(int(IcpState.PROCESSING),
                                             jnp.int32))
-    (T, rms, _, _, state), (rms_h, pair_h, ran) = jax.lax.scan(
+    (T, rms, _, _, state), hists = jax.lax.scan(
         body, init, jnp.arange(params.iterations))
+    rms_h, pair_h, ran = hists[:3]
 
     iters = jnp.sum(ran)
     last = jnp.maximum(iters - 1, 0)
-    return IcpResult(T=T, rms=rms, pairs=pair_h[last], iterations=iters,
-                     state=state, rms_history=rms_h, pair_history=pair_h)
+    return IcpResult(
+        T=T, rms=rms, pairs=pair_h[last], iterations=iters,
+        state=state, rms_history=rms_h, pair_history=pair_h,
+        pair_idx_history=hists[3] if params.record_pairs else None,
+        pair_mask_history=hists[4] if params.record_pairs else None)
 
 
 icp_jit = jax.jit(icp, static_argnames=("params",))

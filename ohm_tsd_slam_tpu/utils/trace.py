@@ -69,12 +69,23 @@ class Trace:
 
     def add_icp_history(self, scene0: np.ndarray, result) -> None:
         """Record a whole IcpResult history (the functional analogue of
-        the per-step hook at Icp.cpp:430-444)."""
+        the per-step hook at Icp.cpp:430-444).
+
+        When the ICP ran with IcpParams.record_pairs, the per-iteration
+        (model_idx, scene_idx) pair assignments are recorded too
+        (Trace::addAssignment's pair payload)."""
         rms = np.asarray(result.rms_history)
+        idx_h = result.pair_idx_history
+        mask_h = result.pair_mask_history
         for i in range(rms.shape[0]):
             if np.isnan(rms[i]):
                 break
-            self.add_assignment(scene0, None, float(rms[i]))
+            pairs = None
+            if idx_h is not None and mask_h is not None:
+                m = np.asarray(mask_h[i])
+                pairs = np.stack([np.asarray(idx_h[i])[m],
+                                  np.nonzero(m)[0]], axis=1)
+            self.add_assignment(scene0, pairs, float(rms[i]))
 
     # -- serialization ------------------------------------------------------
     def serialize(self, folder: str) -> None:

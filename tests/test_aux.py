@@ -246,3 +246,51 @@ class TestProjective3D:
         assert pm.all()
         assert idx[0] == 1 and idx[1] == 2
         assert d2[0] < 1e-3 and d2[1] < 1e-3
+
+
+def test_logger_timestamped_path():
+    """Reference log-file naming (Logger.cpp:76-89):
+    <base>_<d>_<m>_<Y>_<H>-<M>-<S>.log."""
+    import re
+
+    from ohm_tsd_slam_tpu.native import timestamped_log_path
+
+    p = timestamped_log_path("/tmp/slamlog")
+    assert re.fullmatch(
+        r"/tmp/slamlog_\d{1,2}_\d{1,2}_\d{4}_\d{1,2}-\d{1,2}-\d{1,2}\.log",
+        p), p
+
+
+def test_trace_records_pair_assignments(tmp_path):
+    """IcpParams.record_pairs -> Trace captures per-iteration pair
+    assignments (VERDICT r1 weak #8)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ohm_tsd_slam_tpu.registration import IcpParams, icp
+    from ohm_tsd_slam_tpu.utils.trace import Trace
+
+    rng = np.random.RandomState(0)
+    model = rng.uniform(0, 4, (120, 2))
+    scene = model + np.array([0.01, -0.015])
+
+    params = IcpParams(iterations=8, dist_max=1.0, dist_min=0.2,
+                       record_pairs=True)
+    res = icp(jnp.asarray(model), jnp.ones(len(model), bool),
+              jnp.asarray(scene), jnp.ones(len(scene), bool), params)
+    assert res.pair_idx_history is not None
+    assert res.pair_idx_history.shape == (8, 120)
+
+    tr = Trace()
+    tr.set_model(model)
+    tr.set_scene(scene)
+    tr.add_icp_history(scene, res)
+    out = str(tmp_path / "trace")
+    tr.serialize(out)
+    import os
+
+    pair_files = [f for f in os.listdir(out) if f.startswith("pairs_")]
+    assert pair_files
+    first = np.loadtxt(os.path.join(out, sorted(pair_files)[0]),
+                       ndmin=2)
+    assert first.shape[1] == 2 and first.shape[0] > 50

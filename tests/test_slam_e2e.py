@@ -288,3 +288,82 @@ def test_slam_amcl_recovers_kidnap():
     est = np.asarray(node.localizers[0].pose)
     err = np.hypot(est[0, 2] - kid[0], est[1, 2] - kid[1])
     assert err < 3.0 * CFG.grid.cellsize, err
+
+
+def test_slam_multi_robot_shared_grid():
+    """Two localizers share one grid (the reference's multi-SLAM,
+    SlamNode.cpp:101-122, config/double-laser.yaml): both track their
+    trajectories and both contribute to the map."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        robots=[
+            dataclasses.replace(CFG.robots[0], name="robot0",
+                                local_offset_x=0.0),
+            dataclasses.replace(CFG.robots[0], name="robot1",
+                                local_offset_x=1.2,
+                                local_offset_yaw=2.6),
+        ])
+    node = SlamNode(cfg, dtype=jnp.float64)
+
+    # robot0 starts at grid center, robot1 1.2 m to the right looking
+    # back; both crawl forward
+    starts = [(5.12, 5.12, 0.2), (6.32, 5.12, 2.6 + 0.2 - 0.2)]
+    # note: local_offset_yaw anchors the SLAM frame; keep gt consistent
+    gt = {0: [], 1: []}
+    for k in range(10):
+        for r, (x0, y0, th0) in enumerate(starts):
+            x = x0 + 0.02 * k * math.cos(th0)
+            y = y0 + 0.02 * k * math.sin(th0)
+            gt[r].append((x, y, th0))
+            pose_np = np.array(se2.make(x, y, th0, dtype=jnp.float64))
+            out = node.process_scan(r, _scan_at(pose_np, stamp=float(k)))
+            if k > 0:
+                assert out is not None and not out.is_nan, (r, k)
+
+    for r in range(2):
+        est = np.asarray(node.localizers[r].pose)
+        x, y, _ = gt[r][-1]
+        err = np.hypot(est[0, 2] - x, est[1, 2] - y)
+        assert err < 2.5 * CFG.grid.cellsize, (r, err)
+
+    # both robots' surroundings made it into the one shared grid
+    occ_msg, _ = node.publish_map()
+    assert int((np.asarray(occ_msg.data) == 100).sum()) > 100
+
+
+def test_slam_threaded_runtime():
+    """The threaded runtime (start/on_scan/stop: localizer + mapper +
+    grid threads over native latest-wins channels) processes scans and
+    publishes poses via callbacks (ThreadSLAM architecture,
+    SlamNode.cpp:85-122)."""
+    import time as _time
+
+    node = SlamNode(CFG, dtype=jnp.float64)
+    got = []
+    node.pose_callbacks.append(lambda robot, msg: got.append((robot, msg)))
+
+    x, y, th = 5.12, 5.12, 0.2
+    # first scan initializes synchronously in the callback thread
+    pose_np = np.array(se2.make(x, y, th, dtype=jnp.float64))
+    node.on_scan(0, _scan_at(pose_np, 0.0))
+    assert node.localizers[0].initialized
+
+    node.start()
+    try:
+        for k in range(1, 6):
+            p = np.array(se2.make(x + 0.02 * k, y, th, dtype=jnp.float64))
+            node.on_scan(0, _scan_at(p, float(k)))
+            _time.sleep(0.3)
+        deadline = _time.time() + 20.0
+        while not got and _time.time() < deadline:
+            _time.sleep(0.1)
+    finally:
+        node.stop()
+
+    assert got, "no poses published by the localizer thread"
+    # the latest-wins channel may drop intermediate scans (the
+    # reference's lossy deque) but the final pose must track the motion
+    last = np.asarray(node.localizers[0].pose)
+    assert abs(last[0, 2] - x) < 0.2 and not math.isnan(last[0, 2])
