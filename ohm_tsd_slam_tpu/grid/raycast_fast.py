@@ -398,11 +398,15 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
             segment_min_pallas,
         )
 
-        segpack, seg_count = pack_segments(p0, p1, svalid, tr)
+        # the pack is pose-independent: under vmap over poses (AMCL /
+        # saturation workloads) extraction + packing stay unbatched and
+        # hoist out of the batch; segment_min_pallas's custom_vmap rule
+        # folds the pose batch into the beam axis
+        segpack, seg_count = pack_segments(p0, p1, svalid)
 
         def candidates(t_after):
             t = segment_min_pallas(
-                segpack, pack_beams(ray, lo, hi, t_after), seg_count)
+                segpack, pack_beams(ray, lo, hi, t_after, tr), seg_count)
             return t[:B]
     else:
         def candidates(t_after):

@@ -6,24 +6,41 @@ The isocontour caster's candidate search evaluates, for every
 hit per beam.  In plain XLA the [S, B] intermediates (denom, u, t, masks
 — S = 32768, B ~ 1088, ~140 MB each in f32) are materialized in HBM
 between the dot and the reduction, which makes the search
-bandwidth-bound.  This kernel fuses the whole thing: each (beam-block,
-segment-block) program computes the intersection plane for its tile in
-VMEM via two MXU dots ([S_BLK, 8] @ [8, B_BLK]) and folds it straight
+bandwidth-bound.  This kernel fuses the whole thing: each beam-block
+program computes the intersection plane for its tile in VMEM via MXU
+dots ([S_BLK, 8] @ [8, B_BLK]) plus VPU broadcasts and folds it straight
 into a running per-beam minimum — nothing bigger than a [S_BLK, B_BLK]
 tile ever exists, and the only HBM traffic is the segment pack
 (S x 8 floats, read once per beam block) and the [8, B] output.
 
+The segment pack is POSE-INDEPENDENT: the sensor translation `tr` rides
+in the beam pack and the pose-dependent cross products are reconstructed
+in-kernel (cross(p0 - tr, e) = cross(p0, e) - cross(tr, e), both
+bilinear in packed columns).  Consequences:
+  * under `jax.vmap` over poses (the AMCL / multi-particle / saturation
+    workload) the segment extraction + compaction is unbatched and XLA
+    hoists it out of the batch — one isocontour pass serves every pose;
+  * a custom_vmap rule folds the pose batch into the beam axis
+    ([N, 8, B] -> [8, N*B]), so the kernel's VMEM footprint is
+    batch-size-independent (a plain pallas vmap would replicate the
+    [S, 8] block per batch element and blow the VMEM scope).
+
 Layout:
-  seg pack A [S, 8]   rows: ex, ey, d0x, d0y, c0, valid, eps, 0
-  beams     [8, B]    rows: rayx, rayy, lo, hi, t_after, 0, 0, 0
+  seg pack A [S, 8]   rows: ex, ey, p0x, p0y, c0p = cross(p0, e),
+                            valid, eps, 0
+  beams     [8, B]    rows: rayx, rayy, lo, hi, t_after, trx, try, 0
   out       [8, B]    row 0 = min t (inf = none)
 
 where, for segment (p0, p1) and beam step vector ray (unit * cellsize):
-  e = p1 - p0, d0 = p0 - tr, c0 = cross(d0, e),
-  denom = cross(ray, e) = A @ [-rayy; rayx; 0...],
-  c1 = cross(ray, d0)   = A @ [0; 0; -rayy; rayx; 0...],
+  e = p1 - p0,
+  denom = cross(ray, e)                    = A @ [-rayy; rayx; 0...]
+  c1 = cross(ray, p0 - tr) = A @ [0; 0; -rayy; rayx; 0...] - cross(ray, tr)
+  c0 = cross(p0 - tr, e)   = c0p - (trx * ey - try * ex)
   t = c0 / denom, u = -c1 / denom,
   candidate iff |denom| > eps, u in [0, 1], t in [max(lo, t_after), hi].
+
+A beam block whose every t_after is +inf (all beams resolved — rounds
+2+ of the replay loop on a clean scene) skips the chunk loop entirely.
 
 Built (and tested in interpret mode) against the jnp reference
 implementation in grid/raycast_fast.py::_segment_candidates.
@@ -61,20 +78,27 @@ def _kernel(nc_ref, seg_ref, beam_ref, out_ref):
     lo = beam_ref[2:3, :]
     hi = beam_ref[3:4, :]
     t_after = beam_ref[4:5, :]
+    trx = beam_ref[5:6, :]
+    try_ = beam_ref[6:7, :]
 
     zeros = jnp.zeros_like(rayx)
     Bd = jnp.concatenate([-rayy, rayx, zeros, zeros,
                           zeros, zeros, zeros, zeros], axis=0)  # [8, B]
     Bc = jnp.concatenate([zeros, zeros, -rayy, rayx,
                           zeros, zeros, zeros, zeros], axis=0)
+    c1tr = rayx * try_ - rayy * trx               # cross(ray, tr) [1, B]
 
     def body(j, acc):
         A = seg_ref[pl.ds(j * S_BLK, S_BLK), :]   # [S_BLK, 8]
         denom = jnp.dot(A, Bd, preferred_element_type=jnp.float32)
-        c1 = jnp.dot(A, Bc, preferred_element_type=jnp.float32)
-        c0 = A[:, 4:5]                            # [S_BLK, 1]
+        c1p = jnp.dot(A, Bc, preferred_element_type=jnp.float32)
+        ex = A[:, 0:1]                            # [S_BLK, 1]
+        ey = A[:, 1:2]
+        c0p = A[:, 4:5]
         valid = A[:, 5:6]
         eps = A[:, 6:7]
+        c0 = c0p - (ex * (-try_) + ey * trx)      # cross(p0 - tr, e)
+        c1 = c1p - c1tr                           # cross(ray, p0 - tr)
         ok_denom = jnp.abs(denom) > eps
         safe = jnp.where(ok_denom, denom, 1.0)
         t = c0 / safe
@@ -84,26 +108,17 @@ def _kernel(nc_ref, seg_ref, beam_ref, out_ref):
         tmin = jnp.min(jnp.where(ok, t, jnp.inf), axis=0, keepdims=True)
         return jnp.minimum(acc, tmin)
 
+    # rounds 2+ of the replay loop mark resolved beams with
+    # t_after = +inf; a fully-resolved block has no work
+    active = jnp.any(t_after < jnp.inf)
+    n_eff = jnp.where(active, n_s, 0)
     acc = jnp.full((1, out_ref.shape[1]), jnp.inf, jnp.float32)
-    acc = jax.lax.fori_loop(0, n_s, body, acc)
+    acc = jax.lax.fori_loop(0, n_eff, body, acc)
     out_ref[:] = jnp.broadcast_to(acc, out_ref.shape)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def segment_min_pallas(segpack: jnp.ndarray, beams: jnp.ndarray,
-                       count: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
-    """Fused candidate min-reduction.
-
-    Args:
-      segpack: [S, 8] f32 (see module docstring); S % S_BLK == 0 after
-        padding by the caller (pad rows with valid = 0), real segments
-        first.
-      beams: [8, B] f32; B % B_BLK == 0 (pad columns with lo > hi).
-      count: scalar i32 — number of real segments.
-    Returns:
-      [B] f32 min t per beam (inf = no candidate).
-    """
+def _raw_call(segpack: jnp.ndarray, beams: jnp.ndarray,
+              count: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     S = segpack.shape[0]
     B = beams.shape[1]
     assert S % S_BLK == 0 and B % B_BLK == 0, (S, B)
@@ -132,34 +147,89 @@ def segment_min_pallas(segpack: jnp.ndarray, beams: jnp.ndarray,
     return out[0]
 
 
-def pack_segments(p0, p1, svalid, tr, dtype=jnp.float32):
-    """Build the [S, 8] segment pack (padded to S_BLK) + real count."""
+def _make_custom(interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(segpack, beams, count):
+        return _raw_call(segpack, beams, count, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, segpack, beams, count):
+        seg_b, beam_b, cnt_b = in_batched
+        if not seg_b and not cnt_b and beam_b:
+            # fold the pose batch into the beam axis: one kernel launch,
+            # VMEM footprint unchanged, segment pack shared
+            N = axis_size
+            B = beams.shape[2]
+            flat = jnp.moveaxis(beams, 0, 1).reshape(8, N * B)
+            out = f(segpack, flat, count)
+            return out.reshape(N, B), True
+        # general fallback (batched grid): sequential map over the batch
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x))
+        segs = bcast(segpack, seg_b)
+        bms = bcast(beams, beam_b)
+        cnts = bcast(count, cnt_b)
+        out = jax.lax.map(lambda a: f(*a), (segs, bms, cnts))
+        return out, True
+
+    return f
+
+
+_CUSTOM = {False: _make_custom(False), True: _make_custom(True)}
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def segment_min_pallas(segpack: jnp.ndarray, beams: jnp.ndarray,
+                       count: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused candidate min-reduction.
+
+    Args:
+      segpack: [S, 8] f32 (see module docstring); S % S_BLK == 0 after
+        padding by the caller (pad rows with valid = 0), real segments
+        first.  Pose-independent — build once per grid version.
+      beams: [8, B] f32; B % B_BLK == 0 (pad columns with lo > hi).
+      count: scalar i32 — number of real segments.
+    Returns:
+      [B] f32 min t per beam (inf = no candidate).
+    """
+    return _CUSTOM[bool(interpret)](segpack, beams, count)
+
+
+def pack_segments(p0, p1, svalid, dtype=jnp.float32):
+    """Build the pose-independent [S, 8] segment pack (padded to S_BLK)
+    + real count."""
     e = (p1 - p0).astype(dtype)
-    d0 = (p0 - tr).astype(dtype)
-    c0 = d0[:, 0] * e[:, 1] - d0[:, 1] * e[:, 0]
+    p0 = p0.astype(dtype)
+    c0p = p0[:, 0] * e[:, 1] - p0[:, 1] * e[:, 0]     # cross(p0, e)
     eps_rel = 1e-6
     eps = eps_rel * jnp.maximum(jnp.linalg.norm(e, axis=1), 1e-30)
     S = p0.shape[0]
     pad = (-S) % S_BLK
-    A = jnp.stack([e[:, 0], e[:, 1], d0[:, 0], d0[:, 1], c0,
-                   svalid.astype(dtype), eps, jnp.zeros_like(c0)], axis=-1)
+    A = jnp.stack([e[:, 0], e[:, 1], p0[:, 0], p0[:, 1], c0p,
+                   svalid.astype(dtype), eps, jnp.zeros_like(c0p)], axis=-1)
     if pad:
         A = jnp.pad(A, ((0, pad), (0, 0)))
     return A, jnp.sum(svalid, dtype=jnp.int32)
 
 
-def pack_beams(ray, lo, hi, t_after, dtype=jnp.float32):
+def pack_beams(ray, lo, hi, t_after, tr, dtype=jnp.float32):
     """Build the [8, B] beam pack (padded to B_BLK; pads can never match
-    since their clip window is empty)."""
+    since their clip window is empty).  `tr` is the [2] sensor
+    translation, broadcast to every beam column."""
     B = ray.shape[0]
     pad = (-B) % B_BLK
+    trx = jnp.broadcast_to(tr[0].astype(dtype), (B,))
+    try_ = jnp.broadcast_to(tr[1].astype(dtype), (B,))
     rows = jnp.stack([ray[:, 0].astype(dtype), ray[:, 1].astype(dtype),
                       lo.astype(dtype), hi.astype(dtype),
-                      t_after.astype(dtype)], axis=0)
-    rows = jnp.concatenate(
-        [rows, jnp.zeros((3, B), dtype)], axis=0)
+                      t_after.astype(dtype), trx, try_,
+                      jnp.zeros((B,), dtype)], axis=0)
     if pad:
         padcol = jnp.zeros((8, pad), dtype)
         padcol = padcol.at[2].set(1.0)    # lo = 1 > hi = 0 -> empty window
+        # pads are "resolved" so they never keep a block's chunk loop alive
+        padcol = padcol.at[4].set(jnp.inf)
         rows = jnp.concatenate([rows, padcol], axis=1)
     return rows

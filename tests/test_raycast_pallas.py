@@ -61,9 +61,9 @@ def test_kernel_matches_jnp_candidates():
     for t_after_val in (0.0, 50.0):
         t_after = jnp.full(B, t_after_val, dtype)
         ref = rf._segment_candidates(p0, p1, sv, tr, ray, lo, hi, t_after)
-        segpack, count = pack_segments(p0, p1, sv, tr)
+        segpack, count = pack_segments(p0, p1, sv)
         assert int(count) == int(sv.sum())
-        beams = pack_beams(ray, lo, hi, t_after)
+        beams = pack_beams(ray, lo, hi, t_after, tr)
         got = segment_min_pallas(segpack, beams, count, interpret=True)[:B]
 
         ref_n = np.array(ref)
@@ -71,7 +71,7 @@ def test_kernel_matches_jnp_candidates():
         np.testing.assert_array_equal(np.isfinite(ref_n),
                                       np.isfinite(got_n))
         fin = np.isfinite(ref_n)
-        np.testing.assert_allclose(got_n[fin], ref_n[fin], rtol=1e-5)
+        np.testing.assert_allclose(got_n[fin], ref_n[fin], rtol=1e-4)
 
 
 def test_kernel_count_truncation_excludes_tail():
@@ -88,13 +88,63 @@ def test_kernel_count_truncation_excludes_tail():
     hi = jnp.full(B, 400.0, dtype)
 
     p0, p1, sv, _ = rf._isocontour_segments(grid)
-    segpack, count = pack_segments(p0, p1, sv, tr)
-    beams = pack_beams(ray, lo, hi, lo)
+    segpack, count = pack_segments(p0, p1, sv)
+    beams = pack_beams(ray, lo, hi, lo, tr)
 
     full = segment_min_pallas(segpack, beams, count, interpret=True)
     none = segment_min_pallas(segpack, beams, jnp.int32(0), interpret=True)
     assert np.isfinite(np.array(full)).sum() > 0
     assert not np.isfinite(np.array(none)).any()
+
+
+def test_kernel_custom_vmap_folds_pose_batch():
+    """vmap over poses must fold into the beam axis (one shared segment
+    pack, batch-size-independent VMEM) and match per-pose calls."""
+    grid, geom = _scene()
+    dtype = jnp.float32
+    B = geom.size
+    p0, p1, sv, _ = rf._isocontour_segments(grid)
+    segpack, count = pack_segments(p0, p1, sv)
+
+    def per_pose(dx):
+        pose = se2.make(5.12 + dx, 5.12 - dx, 0.2 + dx, dtype=dtype)
+        ray = se2.rotate_vectors(pose, geom.rays_local(dtype)) \
+            * grid.cell_size
+        tr = se2.translation(pose)
+        lo = jnp.zeros(B, dtype)
+        hi = jnp.full(B, 400.0, dtype)
+        return pack_beams(ray, lo, hi, lo, tr)
+
+    deltas = jnp.linspace(-0.05, 0.05, 4, dtype=dtype)
+    beams_b = jax.vmap(per_pose)(deltas)               # [4, 8, Bp]
+
+    got = jax.vmap(
+        lambda bm: segment_min_pallas(segpack, bm, count, interpret=True)
+    )(beams_b)
+    for i in range(4):
+        one = segment_min_pallas(segpack, beams_b[i], count,
+                                 interpret=True)
+        np.testing.assert_allclose(np.array(got[i]), np.array(one),
+                                   rtol=1e-6)
+
+
+def test_kernel_resolved_block_skips_work():
+    """A beam pack with every t_after = +inf must return inf
+    candidates (the in-kernel early exit)."""
+    grid, geom = _scene()
+    dtype = jnp.float32
+    B = geom.size
+    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), dtype)
+    ray = se2.rotate_vectors(pose, geom.rays_local(dtype)) * grid.cell_size
+    tr = se2.translation(pose)
+    lo = jnp.zeros(B, dtype)
+    hi = jnp.full(B, 400.0, dtype)
+
+    p0, p1, sv, _ = rf._isocontour_segments(grid)
+    segpack, count = pack_segments(p0, p1, sv)
+    beams = pack_beams(ray, lo, hi, jnp.full(B, jnp.inf, dtype), tr)
+    out = segment_min_pallas(segpack, beams, count, interpret=True)
+    assert not np.isfinite(np.array(out)).any()
 
 
 def test_compact_kernel_matches_jnp(monkeypatch):
