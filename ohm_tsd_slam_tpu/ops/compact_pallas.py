@@ -109,9 +109,10 @@ def _kernel(n_chan: int, size: int, mask_ref, *refs):
     """
     nc = n_chan + 1
     counts_ref = refs[0]                   # SMEM [R_BLK] per-row counts
-    chan_refs = refs[1:1 + n_chan]
-    out_ref, cnt_ref = refs[1 + n_chan:3 + n_chan]
-    comp_ref, stage_ref, scal_ref = refs[3 + n_chan:]
+    bound_ref = refs[1]                    # SMEM [grid] last active row + 1
+    chan_refs = refs[2:2 + n_chan]
+    out_ref, cnt_ref = refs[2 + n_chan:4 + n_chan]
+    comp_ref, stage_ref, scal_ref = refs[4 + n_chan:]
     # scal_ref: [0] = flushed offset (multiple of 128), [1] = fill,
     #           [2] = total true lanes seen
 
@@ -178,7 +179,10 @@ def _kernel(n_chan: int, size: int, mask_ref, *refs):
 
             return 0
 
-        jax.lax.fori_loop(0, R_BLK, row, 0)
+        # only loop the block's active span: empty-tail rows (the common
+        # case after the caller's nonzero-row prefilter packs actives to
+        # the front) cost nothing instead of a branch test each
+        jax.lax.fori_loop(0, bound_ref[i], row, 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -217,6 +221,11 @@ def compact_channels_pallas(mask: jnp.ndarray, channels, size: int,
     grid = rows // R_BLK
 
     counts = jnp.sum(m2, axis=1).astype(jnp.int32)         # [rows]
+    # per-block row-loop bound: index of the block's last nonzero row + 1
+    # (0 for an all-empty block) — the kernel skips the empty tail
+    nz = (counts > 0).reshape(grid, R_BLK)
+    last = R_BLK - 1 - jnp.argmax(nz[:, ::-1], axis=1)
+    bounds = jnp.where(jnp.any(nz, axis=1), last + 1, 0).astype(jnp.int32)
 
     kern = partial(_kernel, n_chan, size)
     out, cnt = pl.pallas_call(
@@ -226,6 +235,8 @@ def compact_channels_pallas(mask: jnp.ndarray, channels, size: int,
             pl.BlockSpec((R_BLK, CHUNK), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_BLK,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((grid,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
         ] + [pl.BlockSpec((R_BLK, CHUNK), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)] * n_chan,
@@ -244,5 +255,5 @@ def compact_channels_pallas(mask: jnp.ndarray, channels, size: int,
             pltpu.SMEM((3,), jnp.int32),
         ],
         interpret=interpret,
-    )(m2, counts, *[c.reshape(-1, CHUNK) for c in channels])
+    )(m2, counts, bounds, *[c.reshape(-1, CHUNK) for c in channels])
     return out, cnt[0, 0]
