@@ -177,7 +177,10 @@ class RansacParams:
     scale_orientation: float = 0.33     # _scaleOrientation
     zrand_tsd: float = 0.25             # node "zrand" -> TSD ctor (ThreadLocalize.cpp:190)
     trans_max: float = 0.25             # transMax gate (TwinPointMatching.cpp:97,278)
-    chunk: int = 128                    # candidates scored per lax.map step
+    # candidates scored per lax.map step; since the NN search fuses into
+    # a variadic reduce (nothing [chunk, C, N]-sized is materialized),
+    # large chunks just amortize the sequential map dispatch
+    chunk: int = 1024
 
     @property
     def span(self) -> int:
@@ -289,6 +292,30 @@ def _prepare(key: jax.Array, model: jnp.ndarray, mask_m: jnp.ndarray,
         theta_min=theta_min, theta_max=theta_max, ok=ok)
 
 
+def _reduce_min_payload(primary, payloads, axis):
+    """min over `axis` of `primary`, carrying `payloads` values at the
+    (first) minimum — one fused variadic reduce instead of
+    argmin + take_along_axis + table gathers (XLA lowers random gathers
+    to a serial path on TPU; a [k, C, N] NN search this way costs
+    hundreds of ms).  Payloads are broadcast against `primary`; ties
+    resolve to the lowest index, matching jnp.argmin."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, primary.shape, axis)
+    dtype = primary.dtype
+    init = ((jnp.asarray(jnp.inf, dtype),)
+            + tuple(jnp.asarray(0, p.dtype) for p in payloads)
+            + (jnp.asarray(primary.shape[axis], jnp.int32),))
+    ops = ((primary,)
+           + tuple(jnp.broadcast_to(p, primary.shape) for p in payloads)
+           + (idx,))
+
+    def comp(a, b):
+        better = (b[0] < a[0]) | ((b[0] == a[0]) & (b[-1] < a[-1]))
+        return tuple(jnp.where(better, y, x) for x, y in zip(a, b))
+
+    out = jax.lax.reduce(ops, init, comp, (axis,))
+    return out[0], out[1:-1]
+
+
 def _transform_ctrl(prep: _Prep, phi: jnp.ndarray, t: jnp.ndarray):
     """Apply candidate transforms to the control set.
 
@@ -356,6 +383,14 @@ def match_normal(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
     model_masked_sq = jnp.sum(model * model, axis=1) + jnp.where(
         mvalid, 0.0, _BIG)
     cnt_thresh = jnp.sum(prep.ctrl_mask) // 3       # cntMatchThresh
+    # the winning model point's normal enters only through
+    # cos(phi_m[nn] - beta) = cos(phi_m[nn])cos(beta) + sin(phi_m[nn])
+    # sin(beta): carry (cos, sin) tables through the NN reduce instead
+    # of gathering phi_m[nn]
+    cosm = jnp.cos(prep.phi_m)[None, None, :]
+    sinm = jnp.sin(prep.phi_m)[None, None, :]
+    mx = model[:, 0][None, None, :]
+    my = model[:, 1][None, None, :]
 
     def score_chunk(phi, t, valid):
         st = _transform_ctrl(prep, phi, t)                    # [k, C, 2]
@@ -364,17 +399,20 @@ def match_normal(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
                   & prep.ctrl_mask[None, :])
         max_cnt = jnp.sum(in_fov, axis=1)
 
-        # 1-NN into valid model: d2 = |q|^2 + |m|^2 - 2 q.m
+        # 1-NN into valid model: d2 = |q|^2 + |m|^2 - 2 q.m, computed as
+        # broadcasts so the whole [k, C, N] search fuses into one
+        # variadic reduce (nothing [k, C, N]-sized ever hits HBM)
         q2 = jnp.sum(st * st, axis=-1)                        # [k, C]
-        cross = jnp.einsum("kcd,md->kcm", st, model)          # MXU
-        d2 = q2[..., None] + model_masked_sq[None, None, :] - 2.0 * cross
-        nn = jnp.argmin(d2, axis=-1)                          # [k, C]
-        d2min = jnp.maximum(jnp.take_along_axis(
-            d2, nn[..., None], axis=-1)[..., 0], 0.0)
+        d2 = (q2[..., None] + model_masked_sq[None, None, :]
+              - 2.0 * (st[..., 0:1] * mx + st[..., 1:2] * my))
+        d2min, (cos_nn, sin_nn) = _reduce_min_payload(
+            d2, (cosm, sinm), axis=2)
+        d2min = jnp.maximum(d2min, 0.0)
 
         # normal consensus (RandomNormalMatching.cpp:310-318)
-        ncons = (1.0 - jnp.cos(prep.phi_m[nn] - prep.ctrl_phi[None, :]
-                               - phi[:, None])) / 2.0
+        beta = prep.ctrl_phi[None, :] + phi[:, None]
+        ncons = (1.0 - (cos_nn * jnp.cos(beta)
+                        + sin_nn * jnp.sin(beta))) / 2.0
         err = (d2min * params.scale_distance
                + ncons * params.scale_orientation)
         err_sum = jnp.sum(jnp.where(in_fov, err, 0.0), axis=1)
@@ -443,11 +481,14 @@ def match_pdf(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
         angle = jnp.arctan2(st[..., 1], st[..., 0])
         dist = jnp.linalg.norm(st, axis=-1)
         diff = jnp.abs(angle[..., None] - m_angle[None, None, :])
-        nn = jnp.argmin(diff, axis=-1)                         # [k, C]
-        min_diff = jnp.take_along_axis(diff, nn[..., None], -1)[..., 0]
+        # fused nearest-angle search carrying the winner's range (see
+        # _reduce_min_payload; argmin + m_dist[nn] gathers are serial
+        # on TPU)
+        min_diff, (mdist_nn,) = _reduce_min_payload(
+            diff, (m_dist[None, None, :],), axis=2)
         fov_cnt = jnp.sum((min_diff < angle_thresh) & prep.ctrl_mask[None, :],
                           axis=1)
-        logp = beam_model_log_prob(m_dist[nn], dist, bm)
+        logp = beam_model_log_prob(mdist_nn, dist, bm)
         logp_sum = jnp.sum(jnp.where(prep.ctrl_mask[None, :], logp, 0.0),
                            axis=1)
         good = valid & (fov_cnt.astype(logp_sum.dtype) > c_gate)
