@@ -175,6 +175,92 @@ public:
       for(unsigned int j = 0; j < n; j++) (*this)(i, j) = aug(i, n + j);
   }
 
+  /* array[i,:] = array[i,:] * M1^T, i.e. each row treated as a point and
+   * multiplied by M1 (gsl/Matrix.cpp:489-497 — dgemm NoTrans/Trans).
+   * Used by Icp::applyTransformation's rotation step. */
+  static void multiply(const Matrix& M1, double* array, unsigned int rows,
+                       unsigned int cols)
+  {
+    assert(M1._rows == cols && M1._cols == cols);
+    std::vector<double> tmp(cols);
+    for(unsigned int i = 0; i < rows; i++)
+    {
+      for(unsigned int r = 0; r < cols; r++)
+      {
+        double acc = 0.0;
+        for(unsigned int c = 0; c < cols; c++)
+          acc += array[i * cols + c] * M1(r, c);
+        tmp[r] = acc;
+      }
+      for(unsigned int r = 0; r < cols; r++) array[i * cols + r] = tmp[r];
+    }
+  }
+
+  /* Homogeneous point-set transform: rows = rows * R^T + t
+   * (gsl/Matrix.cpp Matrix::transform).  Used by OutOfBoundsFilter2D. */
+  void transform(Matrix T)
+  {
+    unsigned int dim = _cols;
+    for(unsigned int i = 0; i < _rows; i++)
+    {
+      double p[3] = {0, 0, 0};
+      for(unsigned int r = 0; r < dim; r++)
+      {
+        double acc = 0.0;
+        for(unsigned int c = 0; c < dim; c++)
+          acc += (*this)(i, c) * T(r, c);
+        p[r] = acc;
+      }
+      for(unsigned int r = 0; r < dim; r++)
+        (*this)(i, r) = p[r] + T(r, dim);
+    }
+  }
+
+  /* LU solve with partial pivoting, destroying *this — mirrors
+   * gsl_linalg_LU_decomp/LU_solve (gsl/Matrix.cpp:343-355).  Used by
+   * PointToLine2DEstimator's 3x3 normal system. */
+  void solve(double* b, double* x)
+  {
+    assert(_rows == _cols);
+    unsigned int n = _rows;
+    std::vector<double> rhs(b, b + n);
+    for(unsigned int col = 0; col < n; col++)
+    {
+      unsigned int piv = col;
+      for(unsigned int r = col + 1; r < n; r++)
+        if(std::fabs((*this)(r, col)) > std::fabs((*this)(piv, col)))
+          piv = r;
+      if(piv != col)
+      {
+        for(unsigned int j = 0; j < n; j++)
+        {
+          double t = (*this)(col, j);
+          (*this)(col, j) = (*this)(piv, j);
+          (*this)(piv, j) = t;
+        }
+        double t = rhs[col];
+        rhs[col] = rhs[piv];
+        rhs[piv] = t;
+      }
+      double d = (*this)(col, col);
+      assert(d != 0.0);
+      for(unsigned int r = col + 1; r < n; r++)
+      {
+        double f = (*this)(r, col) / d;
+        (*this)(r, col) = f;
+        for(unsigned int j = col + 1; j < n; j++)
+          (*this)(r, j) -= f * (*this)(col, j);
+        rhs[r] -= f * rhs[col];
+      }
+    }
+    for(int r = (int)n - 1; r >= 0; r--)
+    {
+      double acc = rhs[r];
+      for(unsigned int j = r + 1; j < n; j++) acc -= (*this)(r, j) * x[j];
+      x[r] = acc / (*this)(r, r);
+    }
+  }
+
   unsigned int getRows() const { return _rows; }
   unsigned int getCols() const { return _cols; }
 

@@ -7,8 +7,20 @@ from ohm_tsd_slam_tpu.grid.dispatch import best_push
 from ohm_tsd_slam_tpu.grid.push import push, push_jit, push_tree, push_tree_jit
 from ohm_tsd_slam_tpu.grid.render import render_ranges, render_ranges_jit
 from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, raycast, raycast_jit
+from ohm_tsd_slam_tpu.grid.raycast_fast import (
+    SegmentCache,
+    extract_segments,
+    extract_segments_jit,
+    raycast_checked,
+    raycast_fast,
+)
 
 __all__ = [
+    "SegmentCache",
+    "extract_segments",
+    "extract_segments_jit",
+    "raycast_checked",
+    "raycast_fast",
     "TsdGrid",
     "create",
     "free_footprint",

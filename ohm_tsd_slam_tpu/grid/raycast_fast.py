@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -82,10 +82,11 @@ def _on_tpu() -> bool:
         return False
 
 
-def _isocontour_segments(grid: TsdGrid):
+def _isocontour_segments(grid: TsdGrid, max_segments: int = MAX_SEGMENTS):
     """Marching squares over cell-center quads -> compacted segments.
 
-    Returns (p0 [S,2], p1 [S,2], valid [S], n_dropped) in world meters.
+    Returns (p0 [S,2], p1 [S,2], valid [S], n_dropped) in world meters,
+    S = max_segments (overflow is counted, never silent).
 
     The compaction runs in the Pallas kernel (ops/compact_pallas.py) on
     TPU f32 grids — the XLA butterfly+assembly costs ~5 ms on a 1024^2
@@ -126,20 +127,20 @@ def _isocontour_segments(grid: TsdGrid):
 
             packed, stored = compact_channels_pallas(
                 m2s.reshape(-1), tuple(c.reshape(-1) for c in chans_s),
-                MAX_SEGMENTS)
-            p0 = jnp.stack([packed[0, :MAX_SEGMENTS],
-                            packed[1, :MAX_SEGMENTS]], axis=-1)
-            p1 = jnp.stack([packed[2, :MAX_SEGMENTS],
-                            packed[3, :MAX_SEGMENTS]], axis=-1)
-            svalid = packed[4, :MAX_SEGMENTS] > 0.0
+                max_segments)
+            p0 = jnp.stack([packed[0, :max_segments],
+                            packed[1, :max_segments]], axis=-1)
+            p1 = jnp.stack([packed[2, :max_segments],
+                            packed[3, :max_segments]], axis=-1)
+            svalid = packed[4, :max_segments] > 0.0
             # drops: rows beyond ROW_CAP plus capacity overflow
             n_dropped = (total - counted
-                         + jnp.maximum(counted - MAX_SEGMENTS, 0))
+                         + jnp.maximum(counted - max_segments, 0))
             return p0, p1, svalid, n_dropped
 
     n_total = jnp.sum(mask, dtype=jnp.int32)
-    n_dropped = jnp.maximum(n_total - MAX_SEGMENTS, 0)
-    _, vals, valid = compact_mask_values(mask, chans, MAX_SEGMENTS)
+    n_dropped = jnp.maximum(n_total - max_segments, 0)
+    _, vals, valid = compact_mask_values(mask, chans, max_segments)
     p0 = jnp.stack([vals[0], vals[1]], axis=-1)
     p1 = jnp.stack([vals[2], vals[3]], axis=-1)
     return p0, p1, valid, n_dropped
@@ -283,6 +284,62 @@ def _segment_layers(grid: TsdGrid):
     return mask, chans
 
 
+class SegmentCache(NamedTuple):
+    """Pose-independent isocontour extraction of one grid version.
+
+    The marching-squares pass + compaction + Pallas segment pack depend
+    only on the TSD field, not the sensor pose — in the live SLAM loop
+    the grid changes only when the mapper fuses a significantly-moved
+    scan (ThreadLocalize.cpp:402,728-736), while the localizer raycasts
+    EVERY scan (ThreadLocalize.cpp:353).  Extracting once per grid
+    version and reusing the cache across scans moves ~2/3 of the
+    raycast's per-scan cost into the (much rarer) map-update stage.
+
+    Build with extract_segments(grid); pass to raycast_fast/
+    raycast_checked/localize_step via their `segments` argument.  The
+    cache is only valid for the exact grid it was extracted from —
+    callers own the invalidation (slam.node rebuilds it after each
+    mapper drain).
+    """
+
+    p0: jnp.ndarray          # [S, 2] world endpoints
+    p1: jnp.ndarray          # [S, 2]
+    valid: jnp.ndarray       # [S] bool
+    n_dropped: jnp.ndarray   # i32 — segments lost to capacity limits
+    # Pallas candidate-kernel pack ([S_pad, 8], origin-shifted
+    # coordinates) + real count; None off-TPU (jnp candidate path)
+    pack: Optional[jnp.ndarray]
+    count: Optional[jnp.ndarray]
+    # [2] world shift subtracted from pack coordinates (grid center —
+    # bounds the magnitudes entering the kernel's f32 cross-product
+    # reconstruction so cancellation error stays map-size-independent)
+    origin: Optional[jnp.ndarray]
+
+
+def _pack_origin(grid: TsdGrid, dtype) -> jnp.ndarray:
+    return jnp.array([grid.cells_x * grid.cell_size * 0.5,
+                      grid.cells_y * grid.cell_size * 0.5], dtype)
+
+
+def extract_segments(grid: TsdGrid,
+                     max_segments: int = MAX_SEGMENTS) -> SegmentCache:
+    """Run the pose-independent extraction stage once for this grid
+    version (see SegmentCache)."""
+    p0, p1, svalid, n_dropped = _isocontour_segments(grid, max_segments)
+    if USE_PALLAS and grid.tsd.dtype == jnp.float32 and _on_tpu():
+        from ohm_tsd_slam_tpu.ops.raycast_pallas import pack_segments
+
+        origin = _pack_origin(grid, p0.dtype)
+        pack, count = pack_segments(p0 - origin, p1 - origin, svalid)
+    else:
+        pack = count = origin = None
+    return SegmentCache(p0, p1, svalid, n_dropped, pack, count, origin)
+
+
+extract_segments_jit = jax.jit(extract_segments,
+                               static_argnames=("max_segments",))
+
+
 def _segment_candidates(p0, p1, svalid, tr, ray, lo, hi, t_after):
     """Earliest ray-segment intersection per beam with t >= t_after.
 
@@ -352,7 +409,13 @@ def _window_events(grid, tr, ray, idx_min, idx_max, k_cand, has_cand):
 
 
 def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
-                 pose: jnp.ndarray) -> RaycastResult:
+                 pose: jnp.ndarray,
+                 segments: Optional[SegmentCache] = None,
+                 max_segments: int = MAX_SEGMENTS) -> RaycastResult:
+    """Splat+refine raycast.  `segments` — an extract_segments() cache
+    for THIS grid version — skips the per-scan isocontour extraction
+    (the pose-independent 2/3 of the cost); without it the extraction
+    runs inline (identical results either way, asserted in tests)."""
     dtype = grid.tsd.dtype
     s = grid.cell_size
     B = geom.size
@@ -392,29 +455,33 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     # overflowing the compaction, count into n_dropped (raycast_checked
     # then falls back to the exact march).
     UNRESOLVED_CAP = 256
-    p0, p1, svalid, n_dropped = _isocontour_segments(grid)
+    if segments is None:
+        segments = extract_segments(grid, max_segments)
+    p0, p1, svalid = segments.p0, segments.p1, segments.valid
+    n_dropped = segments.n_dropped
     lo = jnp.maximum(jnp.floor(idx_min) - 1.0, 0.0)
     hi = jnp.ceil(idx_max) + 1.0
     cover = WINDOW - BACKOFF - 2.0
 
     # candidate search: fused Pallas kernel on TPU f32, jnp elsewhere
-    use_pallas = USE_PALLAS and dtype == jnp.float32 and _on_tpu()
-    if use_pallas:
+    if segments.pack is not None:
         from ohm_tsd_slam_tpu.ops.raycast_pallas import (
             pack_beams,
-            pack_segments,
             segment_min_pallas,
         )
 
         # the pack is pose-independent: under vmap over poses (AMCL /
         # saturation workloads) extraction + packing stay unbatched and
         # hoist out of the batch; segment_min_pallas's custom_vmap rule
-        # folds the pose batch into the beam axis
-        segpack, seg_count = pack_segments(p0, p1, svalid)
+        # folds the pose batch into the beam axis.  Beam translations
+        # are shifted into the pack's grid-center frame.
+        segpack, seg_count = segments.pack, segments.count
+        tr_pack = tr - segments.origin
 
         def candidates(t_after):
             t = segment_min_pallas(
-                segpack, pack_beams(ray, lo, hi, t_after, tr), seg_count)
+                segpack, pack_beams(ray, lo, hi, t_after, tr_pack),
+                seg_count)
             return t[:B]
     else:
         def candidates(t_after):
@@ -476,14 +543,16 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
 
 
 def raycast_checked(grid: TsdGrid, geom: SensorPolar2D,
-                    pose: jnp.ndarray) -> RaycastResult:
+                    pose: jnp.ndarray,
+                    segments: Optional[SegmentCache] = None
+                    ) -> RaycastResult:
     """Guarded splat raycast: when the segment compaction overflows
     MAX_SEGMENTS (beams would silently lose hits), fall back to the
     exact dense march of grid/raycast.py.  Both branches are compiled;
     only one executes per call."""
     from ohm_tsd_slam_tpu.grid.raycast import raycast as raycast_exact
 
-    fast = raycast_fast(grid, geom, pose)
+    fast = raycast_fast(grid, geom, pose, segments=segments)
 
     def exact(_):
         r = raycast_exact(grid, geom, pose)

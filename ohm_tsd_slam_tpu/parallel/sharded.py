@@ -29,6 +29,7 @@ from ohm_tsd_slam_tpu.config import RegMode
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.interpolate import interpolate_bilinear_safe
 from ohm_tsd_slam_tpu.grid.push import push
+from ohm_tsd_slam_tpu.grid.raycast import raycast as raycast_exact
 from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
 from ohm_tsd_slam_tpu.registration.gauss_newton import match_gauss_newton
@@ -46,6 +47,10 @@ class SlamStepResult(NamedTuple):
     reg_error: jnp.ndarray    # [R]
     pose_grad: jnp.ndarray    # [R, 3] d(residual)/d(x, y, theta)
     rms: jnp.ndarray          # [R]
+    # fast-raycast overflow count summed over robots (0 = clean; when
+    # nonzero the step already re-rendered every robot with the exact
+    # march, so no beams were lost — see multi_robot_slam_step)
+    rays_dropped: jnp.ndarray = None
 
 
 def map_residual_loss(grid: TsdGrid, geom: SensorPolar2D,
@@ -101,7 +106,9 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
             err = err | (gn.matches < params.gn.min_matches)
             rms = gn.rms
         else:
-            model = raycast_fast(grid, geom, pose)
+            # overflow-guarded: falls back to the exact march when the
+            # splat caster drops segments (no silent beam loss)
+            model = raycast_checked(grid, geom, pose)
             res = icp(model.coords, model.mask, scene, smask, params.icp,
                       sensor_pose=pose, model_normals=model.normals)
             T = res.T

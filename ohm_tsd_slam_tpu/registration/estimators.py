@@ -39,6 +39,16 @@ def closed_form_2d(model: jnp.ndarray, scene: jnp.ndarray,
       "RMS", Icp.cpp:428).
     """
     pm = model[model_idx]                     # (S, 2) paired model points
+    return closed_form_2d_paired(pm, scene, pair_mask)
+
+
+def closed_form_2d_paired(pm: jnp.ndarray, scene: jnp.ndarray,
+                          pair_mask: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """closed_form_2d on pre-gathered paired model points `pm` (S, 2)
+    (values outside pair_mask are ignored) — the entry point of the
+    fused gather-free ICP iteration (registration/icp.py)."""
+    model = pm
     n = jnp.maximum(jnp.sum(pair_mask), 1).astype(model.dtype)
 
     rms = _masked_mean(jnp.sum((pm - scene) ** 2, axis=1), pair_mask, n)
@@ -77,6 +87,14 @@ def point_to_line_2d(model: jnp.ndarray, normals: jnp.ndarray,
     """
     pm = model[model_idx]
     nrm = normals[model_idx]
+    return point_to_line_2d_paired(pm, nrm, scene, pair_mask)
+
+
+def point_to_line_2d_paired(pm: jnp.ndarray, nrm: jnp.ndarray,
+                            scene: jnp.ndarray, pair_mask: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """point_to_line_2d on pre-gathered paired model points/normals."""
+    model = pm
     n = jnp.maximum(jnp.sum(pair_mask), 1).astype(model.dtype)
 
     # point-to-line residual r = n · (s - m)

@@ -76,22 +76,32 @@ def occlusion_filter(scene3d: jnp.ndarray, mask: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def distance_threshold_schedule(max_dist: float, min_dist: float,
-                                iterations: int):
+                                iterations: int, length: int = None):
     """The shrinking squared-distance gate of DistanceFilter
     (DistanceFilter.cpp:11-19,62-63).
 
     The reference multiplies the *squared* threshold by the *unsquared*
     ratio root each call: d²_k = maxdist² · ((min/max)^(1/(it-1)))^k,
     clamped at mindist².  (A quirk — replicated deliberately.)
-    Returns the [iterations] array of squared thresholds per ICP step.
+
+    Args:
+      iterations: the filter's OWN iteration count, which only sets the
+        shrink rate (an unsigned int in the reference; ThreadLocalize
+        passes icpIterations - 10, ThreadLocalize.cpp:213 — the caller
+        is responsible for that wrap).
+      length: number of ICP steps to emit thresholds for (default =
+        iterations).
+    Returns the [length] array of squared thresholds per ICP step.
     """
     import numpy as np
 
+    if length is None:
+        length = iterations
     it = float(iterations - 1) if iterations >= 1 else 1.0
     if iterations < 1:
         it = 1.0
     mult = (min_dist / max_dist) ** (1.0 / it)
-    k = np.arange(iterations)
+    k = np.arange(length)
     d2 = (max_dist ** 2) * mult ** k
     return jnp.asarray(np.maximum(d2, min_dist ** 2))
 

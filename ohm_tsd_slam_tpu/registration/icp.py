@@ -32,9 +32,14 @@ from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.registration import filters as flt
 from ohm_tsd_slam_tpu.registration.estimators import (
     closed_form_2d,
+    closed_form_2d_paired,
     point_to_line_2d,
+    point_to_line_2d_paired,
 )
-from ohm_tsd_slam_tpu.registration.nn import nearest_neighbors
+from ohm_tsd_slam_tpu.registration.nn import (
+    assign_pairs_fused,
+    nearest_neighbors,
+)
 
 
 class IcpState(enum.IntEnum):
@@ -64,6 +69,11 @@ class IcpResult(NamedTuple):
     # addAssignment pair payload, Trace.cpp:123-142)
     pair_idx_history: jnp.ndarray = None
     pair_mask_history: jnp.ndarray = None
+    # per-iteration accumulated transforms ([iters, 3, 3]; frozen copies
+    # of T after exit), populated when IcpParams.record_T — used by the
+    # golden per-iteration parity diff vs the compiled reference
+    # (Icp.cpp:493-508 loop states)
+    T_history: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -76,6 +86,13 @@ class IcpParams:
     conv_eps: float = 10e-10          # rms-plateau epsilon (Icp.cpp:498)
     dist_min: float = 0.2
     dist_max: float = 1.0
+    # DistanceFilter's own iteration count controlling the shrink rate
+    # (None = iterations).  ThreadLocalize constructs it with
+    # icpIterations - 10 — as an UNSIGNED int (DistanceFilter.h:20), so
+    # icp_iterations < 10 wraps to ~2^32 and the gate barely shrinks;
+    # IcpParams.from_config replicates that quirk
+    # (ThreadLocalize.cpp:213).
+    dist_iterations: Optional[int] = None
     use_distance_filter: bool = True
     use_reciprocal_filter: bool = True
     # grid AABB for the out-of-bounds prefilter (ThreadLocalize.cpp:218)
@@ -87,15 +104,33 @@ class IcpParams:
     # record per-iteration pair assignments for the Trace subsystem
     # (costly: [iters, S] extra outputs — off by default)
     record_pairs: bool = False
+    # record per-iteration accumulated transforms (golden parity diff)
+    record_T: bool = False
+    # fused dense iteration body (nn.assign_pairs_fused): NN + gates +
+    # reciprocal rule + payload gather as pure [S, M] dense ops — no
+    # scatters/gathers, ~6x faster per iteration on TPU.  Bit-identical
+    # to the modular chain (asserted in tests); keep False to run the
+    # modular reference path.
+    fused: bool = True
 
     @staticmethod
     def from_config(cfg: IcpConfig, bounds=None) -> "IcpParams":
+        # ThreadLocalize's stack: DistanceFilter(max, min,
+        # (unsigned)(icpIterations - 10)), convergence counter =
+        # icpIterations (ThreadLocalize.cpp:213,226)
+        dist_it = cfg.dist_iterations
+        if dist_it is None:
+            dist_it = (cfg.iterations - 10) & 0xFFFFFFFF
+        conv = cfg.convergence_count
+        if conv is None:
+            conv = cfg.iterations
         return IcpParams(
             iterations=cfg.iterations,
             max_rms=cfg.max_rms,
-            convergence_count=cfg.convergence_count,
+            convergence_count=conv,
             dist_min=cfg.dist_filter_min,
             dist_max=cfg.dist_filter_max,
+            dist_iterations=dist_it,
             use_distance_filter=cfg.use_distance_filter,
             use_reciprocal_filter=cfg.use_reciprocal_filter,
             bounds=bounds,
@@ -141,8 +176,18 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
     else:
         raise ValueError(f"unknown estimator {params.estimator!r}")
 
+    dist_it = (params.dist_iterations if params.dist_iterations is not None
+               else params.iterations)
     thresh2 = flt.distance_threshold_schedule(
-        params.dist_max, params.dist_min, params.iterations).astype(dtype)
+        params.dist_max, params.dist_min, dist_it,
+        length=params.iterations).astype(dtype)
+
+    if params.fused:
+        # paired payload: model xy (+ normals for point_to_line)
+        if params.estimator == "point_to_line":
+            payload = jnp.concatenate([model, model_normals], axis=1)
+        else:
+            payload = model
 
     def body(carry, it):
         T, rms_prev, conv_cnt, done, state = carry
@@ -154,17 +199,32 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
             smask = flt.out_of_bounds_filter_2d(
                 scene_cur, smask, sensor_pose, x0, x1, y0, y1)
 
-        idx, d2 = nearest_neighbors(model, model_mask, scene_cur, smask)
-        pmask = smask & jnp.isfinite(d2)
-        if params.use_distance_filter:
-            pmask = flt.distance_filter(d2, pmask, thresh2[it])
-        if params.use_reciprocal_filter:
-            pmask = flt.reciprocal_filter(idx, d2, pmask, M)
+        if params.fused:
+            idx, d2, pmask, paired = assign_pairs_fused(
+                model, model_mask, scene_cur, smask, payload,
+                thresh2=thresh2[it] if params.use_distance_filter else None,
+                use_reciprocal=params.use_reciprocal_filter)
+        else:
+            idx, d2 = nearest_neighbors(model, model_mask, scene_cur,
+                                        smask)
+            pmask = smask & jnp.isfinite(d2)
+            if params.use_distance_filter:
+                pmask = flt.distance_filter(d2, pmask, thresh2[it])
+            if params.use_reciprocal_filter:
+                pmask = flt.reciprocal_filter(idx, d2, pmask, M)
 
         npairs = jnp.sum(pmask)
         matchable = npairs > 2      # Icp.cpp:421
 
-        T_last, rms = estimate(model, scene_cur, idx, pmask)
+        if params.fused:
+            if params.estimator == "point_to_line":
+                T_last, rms = point_to_line_2d_paired(
+                    paired[:, :2], paired[:, 2:], scene_cur, pmask)
+            else:
+                T_last, rms = closed_form_2d_paired(
+                    paired, scene_cur, pmask)
+        else:
+            T_last, rms = estimate(model, scene_cur, idx, pmask)
         T_new = jnp.where(matchable, T_last @ T, T)
         rms = jnp.where(matchable, rms, rms_prev)
 
@@ -192,6 +252,8 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
         if params.record_pairs:
             hist = hist + (idx.astype(jnp.int32),
                            pmask & ~done)
+        if params.record_T:
+            hist = hist + (out_T,)
         return (out_T, out_rms, out_conv, new_done, out_state), hist
 
     init = (T_init, jnp.asarray(10e12, dtype), jnp.asarray(0, jnp.int32),
@@ -203,11 +265,18 @@ def icp(model: jnp.ndarray, model_mask: jnp.ndarray,
 
     iters = jnp.sum(ran)
     last = jnp.maximum(iters - 1, 0)
+    k = 3
+    pair_idx_h = pair_mask_h = T_h = None
+    if params.record_pairs:
+        pair_idx_h, pair_mask_h = hists[k], hists[k + 1]
+        k += 2
+    if params.record_T:
+        T_h = hists[k]
     return IcpResult(
         T=T, rms=rms, pairs=pair_h[last], iterations=iters,
         state=state, rms_history=rms_h, pair_history=pair_h,
-        pair_idx_history=hists[3] if params.record_pairs else None,
-        pair_mask_history=hists[4] if params.record_pairs else None)
+        pair_idx_history=pair_idx_h, pair_mask_history=pair_mask_h,
+        T_history=T_h)
 
 
 icp_jit = jax.jit(icp, static_argnames=("params",))

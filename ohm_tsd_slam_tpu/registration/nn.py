@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -48,6 +49,81 @@ def nearest_neighbors(model: jnp.ndarray, model_mask: jnp.ndarray,
     best = jnp.take_along_axis(d2, idx[:, None].astype(jnp.int64), axis=1)[:, 0]
     best = jnp.where(scene_mask, best, jnp.inf)
     return idx, best
+
+
+def assign_pairs_fused(model: jnp.ndarray, model_mask: jnp.ndarray,
+                       scene: jnp.ndarray, scene_mask: jnp.ndarray,
+                       payload: jnp.ndarray,
+                       thresh2=None,
+                       use_reciprocal: bool = True):
+    """One fused ICP pair assignment: 1-NN + distance gate + reciprocal
+    filter + paired-payload gather, all as dense [S, M] element-wise ops
+    and reductions — no scatter, no gather.
+
+    Motivation: the modular chain (nearest_neighbors +
+    filters.distance_filter + filters.reciprocal_filter + model[idx])
+    lowers the reciprocal filter's two `.at[].min` scatters and the
+    estimator's row gather to serial TPU loops, which dominate the ICP
+    iteration.  Here the reciprocal rule is re-expressed column-wise on
+    the SAME [S, M] distance matrix the NN search already built
+    (pair (s, m) survives iff d2[s, m] is both its row's and — among
+    selected cells — its column's minimum), and the payload gather
+    becomes a one-hot matmul (exact: one unit coefficient per row).
+
+    Bit-identical to the modular chain (asserted in tests/test_icp.py):
+    row argmin keeps the first minimum, the column rule keeps the
+    smallest-distance pair with smallest-scene-index tie-break —
+    FlannPairAssignment 1-NN (FlannPairAssignment.cpp:94-144) +
+    DistanceFilter (DistanceFilter.cpp:50-61) + ReciprocalFilter
+    sort-by-(model, dist)-keep-first (ReciprocalFilter.cpp:33-77).
+
+    Args:
+      model: (M, 2); model_mask: (M,) validity.
+      scene: (S, 2) current scene; scene_mask: (S,) validity (after any
+        pre-filters).
+      payload: (M, K) per-model columns to return per pair (model xy,
+        normals, ...).
+      thresh2: optional scalar squared-distance gate for this iteration.
+      use_reciprocal: apply the reciprocal (one-pair-per-model) rule.
+    Returns:
+      idx (S,) int32 nearest model index, dist2 (S,) row-best squared
+      distance (+inf invalid), pair_mask (S,) surviving pairs,
+      paired (S, K) payload rows (zeros outside pair_mask).
+    """
+    dtype = scene.dtype
+    S, M = scene.shape[0], model.shape[0]
+    s2 = jnp.sum(scene * scene, axis=1, keepdims=True)          # [S,1]
+    m2 = jnp.sum(model * model, axis=1, keepdims=True).T        # [1,M]
+    cross = scene @ model.T                                     # MXU
+    d2 = jnp.maximum(s2 + m2 - 2.0 * cross, 0.0)
+    d2 = jnp.where(model_mask[None, :], d2, jnp.inf)
+
+    best = jnp.min(d2, axis=1)                                  # [S]
+    # first-minimum index without argmin-gather: min of masked iota
+    iota_m = jnp.arange(M, dtype=jnp.int32)[None, :]
+    idx = jnp.min(jnp.where(d2 == best[:, None], iota_m, M), axis=1)
+    idx = jnp.minimum(idx, M - 1).astype(jnp.int32)
+
+    pmask = scene_mask & jnp.isfinite(best)
+    if thresh2 is not None:
+        pmask = pmask & (best <= thresh2)
+
+    # the selected cell of each surviving row
+    sel = (iota_m == idx[:, None]) & pmask[:, None]             # [S,M]
+    if use_reciprocal:
+        dsel = jnp.where(sel, d2, jnp.inf)
+        col_best = jnp.min(dsel, axis=0)                        # [M]
+        is_best = sel & (dsel == col_best[None, :])
+        # tie-break: smallest scene index among equal distances
+        iota_s = jnp.arange(S, dtype=dtype)[:, None]
+        sid = jnp.where(is_best, iota_s, jnp.inf)
+        first = jnp.min(sid, axis=0)                            # [M]
+        sel = is_best & (sid == first[None, :])
+
+    pair_mask = jnp.any(sel, axis=1)
+    paired = jax.lax.dot(sel.astype(dtype), payload.astype(dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+    return idx, jnp.where(scene_mask, best, jnp.inf), pair_mask, paired
 
 
 def projective_pairs_3d(model: jnp.ndarray, scene: jnp.ndarray,

@@ -35,7 +35,11 @@ from ohm_tsd_slam_tpu.config import (
 )
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.raycast import raycast
-from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
+from ohm_tsd_slam_tpu.grid.raycast_fast import (
+    SegmentCache,
+    raycast_checked,
+    raycast_fast,
+)
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
 from ohm_tsd_slam_tpu.registration.amcl import AmclParams, match_amcl
 from ohm_tsd_slam_tpu.registration.gauss_newton import (
@@ -98,6 +102,11 @@ class LocalizeResult(NamedTuple):
     scene_valid: jnp.ndarray   # number of valid scene points
     rms: jnp.ndarray
     icp_iterations: jnp.ndarray
+    # fast-raycast capacity-overflow count.  Nonzero means the splat
+    # caster overflowed and the guarded fallback re-rendered the scan
+    # with the exact march (no beams were lost); surfaced so the node
+    # can log overflow pressure instead of silently ignoring it.
+    rays_dropped: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -112,7 +121,11 @@ class LocalizeParams:
     trns_min: float = 0.05
     rot_min: float = 0.03
     # splat+refine renderer (grid/raycast_fast.py) instead of the dense
-    # march — same model points on >98% of beams, ~10x faster on TPU
+    # march — same model points on >98% of beams, ~10x faster on TPU.
+    # The production path always runs the GUARDED variant
+    # (raycast_checked): if the splat caster's fixed segment capacity
+    # overflows, the exact dense march re-renders the scan, so no beam
+    # is silently lost (the no-silent-caps rule).
     fast_raycast: bool = True
     # RANSAC pre-registration parameters (modes EXP/PDF/TSD)
     ransac: Optional[RansacParams] = None
@@ -163,7 +176,8 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
                   params: LocalizeParams,
                   T_prereg: Optional[jnp.ndarray] = None,
                   key: Optional[jax.Array] = None,
-                  odom_state: Optional[odometry.OdomState] = None
+                  odom_state: Optional[odometry.OdomState] = None,
+                  segments: Optional[SegmentCache] = None
                   ) -> LocalizeResult:
     """One localization cycle (the body of ThreadLocalize::eventLoop,
     ThreadLocalize.cpp:310-409).
@@ -186,10 +200,14 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
         params.odom; applied between registration and the error gate at
         the reference's commented-out call site
         (ThreadLocalize.cpp:586-588).
+      segments: optional extract_segments() cache for THIS grid version
+        — skips the pose-independent isocontour extraction inside the
+        raycast (the node rebuilds it after every mapper drain).
     """
     geom = params.geom
 
-    def finish(T, model_ok, model_valid, scene_valid, rms, iters):
+    def finish(T, model_ok, model_valid, scene_valid, rms, iters,
+               rays_dropped=None):
         # optional odometry rescue (OdometryAnalyzer::odomRescueCheck)
         if params.odom is not None and odom_state is not None:
             T, _rescued = odometry.check(odom_state, params.odom, T)
@@ -199,10 +217,12 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
         new_pose = jnp.where(err, pose, pose @ T)
         significant = (~err) & is_pose_change_significant(
             last_pose, new_pose, params.trns_min, params.rot_min)
+        if rays_dropped is None:
+            rays_dropped = jnp.asarray(0, jnp.int32)
         return LocalizeResult(
             pose=new_pose, T=T, reg_error=err, significant=significant,
             model_valid=model_valid, scene_valid=scene_valid,
-            rms=rms, icp_iterations=iters)
+            rms=rms, icp_iterations=iters, rays_dropped=rays_dropped)
 
     # scene (Sensor::dataToCartesianVectorMask)
     scene, scene_mask = data_to_cartesian(geom, data, mask)
@@ -217,9 +237,14 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
         return finish(gn_res.T, reg_ok, gn_res.matches,
                       jnp.sum(scene_mask), gn_res.rms, gn_res.iterations)
 
-    # model rendering (reference raycast, beam-aligned masked outputs)
-    render = raycast_fast if params.fast_raycast else raycast
-    model = render(grid, geom, pose)
+    # model rendering (reference raycast, beam-aligned masked outputs);
+    # the fast path is overflow-guarded: on capacity overflow the exact
+    # march re-renders, and the drop count is surfaced in the result
+    if params.fast_raycast:
+        model = raycast_checked(grid, geom, pose, segments=segments)
+    else:
+        model = raycast(grid, geom, pose)
+    rays_dropped = model.n_dropped
 
     # registration: pre-match seed + ICP refinement
     if T_prereg is not None:
@@ -247,7 +272,8 @@ def localize_step(grid: TsdGrid, pose: jnp.ndarray, last_pose: jnp.ndarray,
                   model_normals=model.normals)
     model_ok = jnp.sum(model.mask) > 0    # raycast-degenerate guard (:354-358)
     return finish(icp_res.T, model_ok, jnp.sum(model.mask),
-                  jnp.sum(scene_mask), icp_res.rms, icp_res.iterations)
+                  jnp.sum(scene_mask), icp_res.rms, icp_res.iterations,
+                  rays_dropped=rays_dropped)
 
 
 localize_step_jit = jax.jit(localize_step, static_argnames=("params",))

@@ -30,6 +30,7 @@ import numpy as np
 from ohm_tsd_slam_tpu.config import RegMode, RobotConfig, SlamConfig
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid import state as grid_state
+from ohm_tsd_slam_tpu.grid.raycast_fast import extract_segments_jit
 from ohm_tsd_slam_tpu.slam.grid_pub import GridPublisher
 from ohm_tsd_slam_tpu.slam.localize import (
     LocalizeParams,
@@ -111,6 +112,25 @@ class SlamNode:
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
         self.pose_callbacks: List[Callable[[int, PoseStamped], None]] = []
+        # per-grid-version isocontour cache: the raycast's segment
+        # extraction depends only on the TSD field, so it runs once per
+        # map update (mapper drain) instead of once per scan
+        self._seg_lock = threading.Lock()
+        self._seg_cache: tuple = (None, None)   # (grid ref, SegmentCache)
+
+    def _segments_for(self, grid):
+        """extract_segments() memoized on grid identity (grids are
+        immutable pytrees swapped atomically, so identity == version)."""
+        with self._seg_lock:
+            ref, seg = self._seg_cache
+            if ref is not grid:
+                seg = extract_segments_jit(grid)
+                self._seg_cache = (grid, seg)
+            return seg
+
+    def _needs_segments(self, loc: "Localizer") -> bool:
+        return (loc.params.fast_raycast
+                and loc.params.mode != int(RegMode.GN))
 
     # ------------------------------------------------------------------
     # control (start_stop_slam service, SlamNode.cpp:159-189)
@@ -175,8 +195,11 @@ class SlamNode:
         # likewise does its heavy init in the laser callback thread,
         # ThreadLocalize.cpp:257-267).
         import jax
+        seg = (self._segments_for(grid) if self._needs_segments(loc)
+               else None)
         localize_step_jit(grid, loc.pose, loc.last_pose, data, mask,
-                          loc.params, key=jax.random.PRNGKey(0))
+                          loc.params, key=jax.random.PRNGKey(0),
+                          segments=seg)
 
     def _preprocess(self, loc: Localizer, ranges: np.ndarray):
         """laserCallBack clamp + standard mask
@@ -231,9 +254,21 @@ class SlamNode:
                     scan.stamp, odom_ok=True)
             odom_state = loc.odom_state
 
+        seg = (self._segments_for(grid) if self._needs_segments(loc)
+               else None)
         res = localize_step_jit(grid, loc.pose, loc.last_pose, data, mask,
-                                loc.params, key=key, odom_state=odom_state)
+                                loc.params, key=key, odom_state=odom_state,
+                                segments=seg)
 
+        n_over = int(res.rays_dropped)
+        if n_over > 0:
+            # fast-raycast capacity overflow: the guarded exact march
+            # re-rendered the scan (no beams lost) — log the pressure
+            # (RayCastPolar2D's degradation warning analogue,
+            # ThreadLocalize.cpp:354-358)
+            native.log(native.LOG_WARN, "localize",
+                       f"fast raycast overflowed by {n_over} "
+                       "segments/beams; exact-march fallback used")
         if bool(res.reg_error):
             pose_msg = PoseStamped(math.nan, math.nan, math.nan,
                                    stamp=scan.stamp)

@@ -174,3 +174,45 @@ def test_icp_point_to_line_requires_normals():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_icp_fused_equals_modular_with_masks():
+    """The fused dense iteration body (nn.assign_pairs_fused) must be
+    numerically identical to the modular NN + DistanceFilter +
+    ReciprocalFilter + gathered-estimator chain, including masked model/
+    scene points and both estimators (f64 CPU: exact one-hot matmul)."""
+    import dataclasses
+    import jax
+
+    rng = np.random.default_rng(11)
+    M, S = 157, 149
+    model = jnp.asarray(rng.normal(size=(M, 2)) * 2.0)
+    th = 0.06
+    scene_np = (np.asarray(model)[:S] @ np.array(
+        [[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+        + np.array([0.04, -0.07]) + rng.normal(size=(S, 2)) * 0.01)
+    scene = jnp.asarray(scene_np)
+    mm = jnp.asarray(rng.random(M) > 0.15)
+    sm = jnp.asarray(rng.random(S) > 0.15)
+    normals = rng.normal(size=(M, 2))
+    normals = jnp.asarray(normals / np.linalg.norm(normals, axis=1,
+                                                   keepdims=True))
+
+    for est in ("closed_form", "point_to_line"):
+        for use_df, use_rf in ((True, True), (True, False), (False, True)):
+            pa = IcpParams(iterations=12, estimator=est, fused=False,
+                           use_distance_filter=use_df,
+                           use_reciprocal_filter=use_rf,
+                           bounds=(-10.0, 10.0, -10.0, 10.0),
+                           record_T=True)
+            pb = dataclasses.replace(pa, fused=True)
+            run = jax.jit(icp, static_argnames=("params",))
+            ra = run(model, mm, scene, sm, pa, model_normals=normals)
+            rb = run(model, mm, scene, sm, pb, model_normals=normals)
+            np.testing.assert_array_equal(
+                np.asarray(ra.pair_history), np.asarray(rb.pair_history),
+                err_msg=f"{est} df={use_df} rf={use_rf}")
+            np.testing.assert_allclose(
+                np.asarray(ra.T_history), np.asarray(rb.T_history),
+                rtol=0, atol=1e-12, err_msg=f"{est} df={use_df} rf={use_rf}")
+            assert int(ra.iterations) == int(rb.iterations)
