@@ -103,7 +103,7 @@ def main():
     # ---- on-chip correctness: Pallas kernels vs jnp reference ----------
     # (interpret-mode tests run on CPU; Mosaic-compiled semantics are
     # asserted here on the real chip — VERDICT r1 weak #3/#6)
-    from ohm_tsd_slam_tpu.grid import raycast_fast as rf_mod
+    import ohm_tsd_slam_tpu.grid.raycast_fast as rf_mod
     from ohm_tsd_slam_tpu.grid.dispatch import best_push
     from ohm_tsd_slam_tpu.ops.push_pallas import (
         push_pallas,

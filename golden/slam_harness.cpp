@@ -1,0 +1,290 @@
+/* Golden-file generator for FULL-LOOP behavioral parity: replays a
+ * scripted scan sequence through the reference's localization+mapping
+ * cycle — raycast model → ICP registration → error gate → pose update →
+ * significance-gated grid push — exactly as ThreadLocalize::eventLoop
+ * does in mode ICP (src/ThreadLocalize.cpp:310-409, doRegistration
+ * :513-591, isRegistrationError :593-600, isPoseChangeSignificant
+ * :728-736, maskMatrix :738-755), built from the UNMODIFIED reference
+ * sources (see Makefile).  FLANN is replaced by the exact brute-force
+ * 1-NN (BruteForcePairAssignment.h).
+ *
+ * Dumps the per-scan pose trace + gates for
+ * tests/test_reference_parity_slam.py to diff against
+ * SlamNode.process_scan.
+ */
+#define private public
+#define protected public
+
+#include "obvision/reconstruct/grid/RayCastPolar2D.h"
+#include "obvision/reconstruct/grid/SensorPolar2D.h"
+#include "obvision/reconstruct/grid/TsdGrid.h"
+#include "obvision/registration/icp/Icp.h"
+#include "obvision/registration/icp/ClosedFormEstimator2D.h"
+#include "obvision/registration/icp/assign/filter/DistanceFilter.h"
+#include "obvision/registration/icp/assign/filter/OutOfBoundsFilter2D.h"
+#include "obvision/registration/icp/assign/filter/ReciprocalFilter.h"
+
+#undef private
+#undef protected
+
+#include "BruteForcePairAssignment.h"
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <vector>
+
+using namespace obvious;
+
+static FILE* g_out = NULL;
+
+static void dump_array(const char* name, char dtype, unsigned ndim,
+                       const uint32_t* dims, const void* payload)
+{
+  uint32_t nl = (uint32_t)strlen(name);
+  fwrite(&nl, 4, 1, g_out);
+  fwrite(name, 1, nl, g_out);
+  fwrite(&dtype, 1, 1, g_out);
+  uint32_t nd = ndim;
+  fwrite(&nd, 4, 1, g_out);
+  size_t total = 1;
+  for(unsigned i = 0; i < ndim; i++)
+  {
+    fwrite(&dims[i], 4, 1, g_out);
+    total *= dims[i];
+  }
+  size_t esz = dtype == 'f' ? 8 : (dtype == 'i' ? 4 : 1);
+  fwrite(payload, esz, total, g_out);
+}
+
+/* ThreadLocalize::calcAngle (ThreadLocalize.cpp:715-726) */
+static double calcAngle(Matrix* T)
+{
+  double angle = 0.0;
+  const double ARCSIN = asin((*T)(1, 0));
+  const double ARCSINEG = asin((*T)(0, 1));
+  const double ARCOS = acos((*T)(0, 0));
+  if((ARCSIN > 0.0) && (ARCSINEG < 0.0))
+    angle = ARCOS;
+  else if((ARCSIN < 0.0) && (ARCSINEG > 0.0))
+    angle = 2.0 * M_PI - ARCOS;
+  return angle;
+}
+
+/* ThreadLocalize.cpp:593-600 */
+static bool isRegistrationError(Matrix* T, double trnsMax, double rotMax)
+{
+  const double dx = (*T)(0, 2);
+  const double dy = (*T)(1, 2);
+  const double trnsAbs = sqrt(dx * dx + dy * dy);
+  const double deltaPhi = calcAngle(T);
+  return (trnsAbs > trnsMax) || (fabs(sin(deltaPhi)) > rotMax);
+}
+
+/* ThreadLocalize.cpp:728-736 */
+static bool isPoseChangeSignificant(Matrix* lastPose, Matrix* curPose,
+                                    double trnsMin, double rotMin)
+{
+  const double deltaX = (*curPose)(0, 2) - (*lastPose)(0, 2);
+  const double deltaY = (*curPose)(1, 2) - (*lastPose)(1, 2);
+  double deltaPhi = calcAngle(curPose) - calcAngle(lastPose);
+  deltaPhi = fabs(sin(deltaPhi));
+  const double trnsAbs = sqrt(deltaX * deltaX + deltaY * deltaY);
+  return (deltaPhi > rotMin) || (trnsAbs > trnsMin);
+}
+
+/* ThreadLocalize.cpp:738-755 */
+static Matrix maskMatrix(Matrix* Mat, bool* mask, unsigned int maskSize,
+                         unsigned int validPoints)
+{
+  Matrix retMat(validPoints, 2);
+  unsigned int cnt = 0;
+  for(unsigned int i = 0; i < maskSize; i++)
+  {
+    if(mask[i])
+    {
+      retMat(cnt, 0) = (*Mat)(i, 0);
+      retMat(cnt, 1) = (*Mat)(i, 1);
+      cnt++;
+    }
+  }
+  return retMat;
+}
+
+int main(int argc, char** argv)
+{
+  if(argc < 3)
+  {
+    fprintf(stderr, "usage: %s scenario.txt out.bin\n", argv[0]);
+    return 1;
+  }
+  std::ifstream in(argv[1]);
+  g_out = fopen(argv[2], "wb");
+  if(!in || !g_out)
+  {
+    fprintf(stderr, "cannot open inputs\n");
+    return 1;
+  }
+
+  std::string kw;
+  double cellSize, maxTrunc;
+  int layoutPart, layoutGrid;
+  in >> kw >> cellSize >> layoutPart >> layoutGrid >> maxTrunc;
+
+  unsigned size;
+  double angRes, phiMin, maxRange, minRange, lowReflectivityRange;
+  in >> kw >> size >> angRes >> phiMin >> maxRange >> minRange >>
+      lowReflectivityRange;
+
+  int icpIters;
+  double distMax, distMin;
+  double trnsMax, rotMax, trnsMin, rotMin;
+  in >> kw >> icpIters >> distMax >> distMin;
+  in >> kw >> trnsMax >> rotMax >> trnsMin >> rotMin;
+
+  double Tv[9];
+  in >> kw;
+  for(int i = 0; i < 9; i++) in >> Tv[i];
+  Matrix Tinit(3, 3, Tv);
+
+  double fpc[2], fpw, fph;
+  in >> kw >> fpc[0] >> fpc[1] >> fpw >> fph;
+
+  int nscan;
+  in >> kw >> nscan;
+
+  TsdGrid* grid = new TsdGrid(cellSize, (EnumTsdGridLayout)layoutPart,
+                              (EnumTsdGridLayout)layoutGrid);
+  grid->setMaxTruncation(maxTrunc);
+
+  /* ThreadLocalize::init (:498-507): sensor at Tinit, free footprint,
+   * initial push (INIT_PSHS = 1, SlamNode.h:30) */
+  SensorPolar2D* sensor = new SensorPolar2D(size, angRes, phiMin,
+                                            maxRange, minRange,
+                                            lowReflectivityRange);
+  sensor->transform(&Tinit);
+  obfloat fpcf[2] = {(obfloat)fpc[0], (obfloat)fpc[1]};
+  grid->freeFootprint(fpcf, fpw, fph);
+
+  /* ICP stack (ThreadLocalize.cpp:209-226) */
+  BruteForcePairAssignment* assigner = new BruteForcePairAssignment();
+  OutOfBoundsFilter2D* filterBounds = new OutOfBoundsFilter2D(
+      grid->getMinX(), grid->getMaxX(), grid->getMinY(), grid->getMaxY());
+  assigner->addPreFilter(filterBounds);
+  DistanceFilter* filterDist =
+      new DistanceFilter(distMax, distMin, icpIters - 10);
+  assigner->addPostFilter(filterDist);
+  ReciprocalFilter* filterReciprocal = new ReciprocalFilter();
+  assigner->addPostFilter(filterReciprocal);
+  ClosedFormEstimator2D* estimator = new ClosedFormEstimator2D();
+  Icp* icp = new Icp(assigner, estimator);
+  icp->setMaxRMS(0.0);
+  icp->setMaxIterations(icpIters);
+  icp->setConvergenceCounter(icpIters);
+
+  RayCastPolar2D rayCaster;
+  std::vector<double> modelCoords(2 * size), modelNormals(2 * size),
+      scene(2 * size, 0.0);
+  bool* maskM = new bool[size];
+  bool* maskS = new bool[size];
+  std::vector<double> ranges(size);
+
+  Matrix lastPose(3, 3);
+  std::vector<double> poseTrace, Ttrace;
+  std::vector<int32_t> flags;   /* per scan: regError, significant */
+
+  for(int k = 0; k < nscan; k++)
+  {
+    in >> kw;
+    for(unsigned i = 0; i < size; i++) in >> ranges[i];
+
+    sensor->setRealMeasurementData(ranges.data(), 1.0);
+    sensor->setStandardMask();
+
+    if(k == 0)
+    {
+      /* first scan: ThreadMapping::initPush (ThreadMapping.cpp:32-41) */
+      grid->push(sensor);
+      lastPose = sensor->getTransformation();
+      Matrix P0 = sensor->getTransformation();
+      for(int r = 0; r < 3; r++)
+        for(int c = 0; c < 3; c++) poseTrace.push_back(P0(r, c));
+      for(int i = 0; i < 9; i++) Ttrace.push_back(i % 4 == 0 ? 1.0 : 0.0);
+      flags.push_back(0);
+      flags.push_back(1);
+      continue;
+    }
+
+    /* eventLoop body, mode ICP (ThreadLocalize.cpp:343-409) */
+    unsigned validModelPoints = rayCaster.calcCoordsFromCurrentViewMask(
+        grid, sensor, modelCoords.data(), modelNormals.data(), maskM);
+    if(validModelPoints == 0)
+    {
+      fprintf(stderr, "scan %d: raycast found no coordinates\n", k);
+      return 2;
+    }
+    double* scenePtr = scene.data();
+    unsigned validScenePoints =
+        sensor->dataToCartesianVectorMask(scenePtr, maskS);
+
+    Matrix M(size, 2, modelCoords.data());
+    Matrix N(size, 2, modelNormals.data());
+    Matrix S(size, 2, scene.data());
+    Matrix Mvalid = maskMatrix(&M, maskM, size, validModelPoints);
+    Matrix Nvalid = maskMatrix(&N, maskM, size, validModelPoints);
+    Matrix Svalid = maskMatrix(&S, maskS, size, validScenePoints);
+
+    /* doRegistration, mode ICP (:513-591) */
+    Matrix T44(4, 4);
+    T44.setIdentity();
+    icp->reset();
+    Matrix P = sensor->getTransformation();
+    filterBounds->setPose(&P);
+    icp->setModel(&Mvalid, &Nvalid);
+    icp->setScene(&Svalid);
+    double rms = 0.0;
+    unsigned int pairs = 0;
+    unsigned int it = 0;
+    icp->iterate(&rms, &pairs, &it, &T44);
+    Matrix T = icp->getFinalTransformation();
+
+    const bool regError = isRegistrationError(&T, trnsMax, rotMax);
+    bool significant = false;
+    if(!regError)
+    {
+      sensor->transform(&T);
+      Matrix curPose = sensor->getTransformation();
+      if(isPoseChangeSignificant(&lastPose, &curPose, trnsMin, rotMin))
+      {
+        significant = true;
+        lastPose = curPose;
+        /* queuePush → ThreadMapping drains → grid.push
+         * (ThreadMapping.cpp:43-63) */
+        grid->push(sensor);
+      }
+    }
+
+    Matrix cur = sensor->getTransformation();
+    for(int r = 0; r < 3; r++)
+      for(int c = 0; c < 3; c++) poseTrace.push_back(cur(r, c));
+    for(int r = 0; r < 3; r++)
+      for(int c = 0; c < 3; c++) Ttrace.push_back(T(r, c));
+    flags.push_back(regError ? 1 : 0);
+    flags.push_back(significant ? 1 : 0);
+  }
+
+  {
+    uint32_t dims2[2] = {(uint32_t)nscan, 9};
+    dump_array("pose_trace", 'f', 2, dims2, poseTrace.data());
+    dump_array("T_trace", 'f', 2, dims2, Ttrace.data());
+    uint32_t dimsf[2] = {(uint32_t)nscan, 2};
+    dump_array("flags", 'i', 2, dimsf, flags.data());
+  }
+
+  fclose(g_out);
+  printf("slam-loop golden data written to %s\n", argv[2]);
+  return 0;
+}

@@ -87,9 +87,14 @@ class IcpConfig:
 
     iterations: int = 25               # ICP_ITERATIONS default (ThreadLocalize.h:58)
     max_rms: float = 0.0               # Icp maxRMS (ThreadLocalize.cpp:223)
-    convergence_count: int = 5         # rms-plateau counter (Icp.cpp:35)
+    # rms-plateau counter; None = iterations, replicating
+    # setConvergenceCounter(icpIterations) (ThreadLocalize.cpp:226)
+    convergence_count: Optional[int] = None
     dist_filter_min: float = 0.2       # DistanceFilter mindist (ThreadLocalize.cpp:92-97)
     dist_filter_max: float = 1.0       # DistanceFilter maxdist
+    # DistanceFilter's shrink-rate iteration count; None replicates the
+    # reference's (unsigned)(icpIterations - 10) (ThreadLocalize.cpp:213)
+    dist_iterations: Optional[int] = None
     use_distance_filter: bool = True
     use_reciprocal_filter: bool = True
     # rigid estimator strategy (Icp::setRigidEstimator, Icp.h:39-314):

@@ -7,12 +7,14 @@ from ohm_tsd_slam_tpu.grid.dispatch import best_push
 from ohm_tsd_slam_tpu.grid.push import push, push_jit, push_tree, push_tree_jit
 from ohm_tsd_slam_tpu.grid.render import render_ranges, render_ranges_jit
 from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, raycast, raycast_jit
+# NOTE: the raycast_fast FUNCTION is deliberately not re-exported here —
+# binding it would shadow the ohm_tsd_slam_tpu.grid.raycast_fast
+# SUBMODULE attribute (import it from the submodule directly)
 from ohm_tsd_slam_tpu.grid.raycast_fast import (
     SegmentCache,
     extract_segments,
     extract_segments_jit,
     raycast_checked,
-    raycast_fast,
 )
 
 __all__ = [
@@ -20,7 +22,6 @@ __all__ = [
     "extract_segments",
     "extract_segments_jit",
     "raycast_checked",
-    "raycast_fast",
     "TsdGrid",
     "create",
     "free_footprint",

@@ -82,7 +82,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _isocontour_segments(grid: TsdGrid, max_segments: int = MAX_SEGMENTS):
+def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
     """Marching squares over cell-center quads -> compacted segments.
 
     Returns (p0 [S,2], p1 [S,2], valid [S], n_dropped) in world meters,
@@ -93,6 +93,8 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = MAX_SEGMENTS):
     grid vs ~0.3 ms on-chip — and falls back to grid/compact.py
     elsewhere (identical results; asserted in tests).
     """
+    if max_segments is None:
+        max_segments = MAX_SEGMENTS   # resolved at call time (patchable)
     mask, chans = _segment_layers(grid)
 
     use_pallas = USE_PALLAS and grid.tsd.dtype == jnp.float32 and _on_tpu()
@@ -322,7 +324,7 @@ def _pack_origin(grid: TsdGrid, dtype) -> jnp.ndarray:
 
 
 def extract_segments(grid: TsdGrid,
-                     max_segments: int = MAX_SEGMENTS) -> SegmentCache:
+                     max_segments: int = None) -> SegmentCache:
     """Run the pose-independent extraction stage once for this grid
     version (see SegmentCache)."""
     p0, p1, svalid, n_dropped = _isocontour_segments(grid, max_segments)
@@ -411,7 +413,7 @@ def _window_events(grid, tr, ray, idx_min, idx_max, k_cand, has_cand):
 def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
                  pose: jnp.ndarray,
                  segments: Optional[SegmentCache] = None,
-                 max_segments: int = MAX_SEGMENTS) -> RaycastResult:
+                 max_segments: int = None) -> RaycastResult:
     """Splat+refine raycast.  `segments` — an extract_segments() cache
     for THIS grid version — skips the per-scan isocontour extraction
     (the pose-independent 2/3 of the cost); without it the extraction

@@ -32,8 +32,14 @@ from ohm_tsd_slam_tpu.grid.push import push
 from ohm_tsd_slam_tpu.grid.raycast import raycast as raycast_exact
 from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
+from ohm_tsd_slam_tpu.registration.amcl import match_amcl
 from ohm_tsd_slam_tpu.registration.gauss_newton import match_gauss_newton
 from ohm_tsd_slam_tpu.registration.icp import IcpParams, icp
+from ohm_tsd_slam_tpu.registration.ransac import (
+    match_normal,
+    match_pdf,
+    match_tsd,
+)
 from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D, data_to_cartesian
 from ohm_tsd_slam_tpu.slam.localize import (
     LocalizeParams,
@@ -83,8 +89,15 @@ def pose_gradient(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
 
 def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
                           data: jnp.ndarray, mask: jnp.ndarray,
-                          params: LocalizeParams) -> SlamStepResult:
+                          params: LocalizeParams,
+                          key: jnp.ndarray = None) -> SlamStepResult:
     """One full SLAM cycle for R robots sharing one grid.
+
+    Every registration mode of localize_step runs sharded: ICP, the
+    RANSAC pre-matchers EXP/PDF/TSD (the reference's shipped default,
+    config/single-laser.yaml registration_mode: 3) + ICP refinement,
+    AMCL, and direct GN (doRegistration dispatch,
+    ThreadLocalize.cpp:513-591).
 
     Args:
       grid: shared TSD grid (shard over "sp").
@@ -92,12 +105,36 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
       data/mask: [R, B] scans (shard over "dp").
       params: static localization parameters (same scan geometry per
         robot, as in config/double-laser.yaml).
+      key: PRNG key for the stochastic matchers (split per robot);
+        defaults to PRNGKey(0) — callers should pass a per-step key.
     """
     geom = params.geom
+    R = poses.shape[0]
+    mode = params.mode
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, R)
 
-    def localize_one(pose, d, m):
+    rays_dropped = jnp.asarray(0, jnp.int32)
+    if mode == int(RegMode.GN):
+        models = None
+    else:
+        # overflow guard OUTSIDE the vmap: a lax.cond under vmap lowers
+        # to a select that would always execute the expensive exact
+        # march — instead raycast all robots with the fast path and
+        # re-render the whole batch exactly iff ANY robot overflowed
+        models = jax.vmap(lambda p: raycast_fast(grid, geom, p))(poses)
+        rays_dropped = jnp.sum(models.n_dropped)
+        models = jax.lax.cond(
+            rays_dropped > 0,
+            lambda: jax.vmap(
+                lambda p: raycast_exact(grid, geom, p)._replace(
+                    n_dropped=jnp.asarray(0, jnp.int32)))(poses),
+            lambda: models)
+
+    def localize_one(pose, d, m, model, k):
         scene, smask = data_to_cartesian(geom, d, m)
-        if params.mode == int(RegMode.GN):
+        if mode == int(RegMode.GN):
             # direct scan-to-map Gauss-Newton: no raycast, no NN
             gn = match_gauss_newton(grid, pose, scene, smask, params.gn)
             T = gn.T
@@ -106,11 +143,25 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
             err = err | (gn.matches < params.gn.min_matches)
             rms = gn.rms
         else:
-            # overflow-guarded: falls back to the exact march when the
-            # splat caster drops segments (no silent beam loss)
-            model = raycast_checked(grid, geom, pose)
+            # pre-registration seed by mode (ThreadLocalize.cpp:530-568)
+            if mode == int(RegMode.EXP):
+                T_init = match_normal(k, model.coords, model.mask,
+                                      scene, smask, params.ransac)
+            elif mode == int(RegMode.PDF):
+                T_init = match_pdf(k, model.coords, model.mask, scene,
+                                   smask, params.ransac, params.beam)
+            elif mode == int(RegMode.TSD):
+                T_init = match_tsd(k, grid, pose, model.coords,
+                                   model.mask, scene, smask,
+                                   params.ransac)
+            elif mode == int(RegMode.AMCL):
+                T_init = match_amcl(k, grid, pose, scene, smask,
+                                    params.amcl)
+            else:
+                T_init = jnp.eye(3, dtype=scene.dtype)
             res = icp(model.coords, model.mask, scene, smask, params.icp,
-                      sensor_pose=pose, model_normals=model.normals)
+                      T_init=T_init, sensor_pose=pose,
+                      model_normals=model.normals)
             T = res.T
             err = is_registration_error(T, params.trns_max,
                                         params.rot_max)
@@ -120,7 +171,13 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
         grad = pose_gradient(grid, geom, new_pose, d, m)
         return new_pose, err, grad, rms
 
-    new_poses, errs, grads, rms = jax.vmap(localize_one)(poses, data, mask)
+    if models is None:   # GN: no model render at all
+        new_poses, errs, grads, rms = jax.vmap(
+            lambda p, d, m, k: localize_one(p, d, m, None, k))(
+                poses, data, mask, keys)
+    else:
+        new_poses, errs, grads, rms = jax.vmap(localize_one)(
+            poses, data, mask, models, keys)
 
     # fuse every robot's scan (serialized grid writes, as ThreadMapping
     # does for the shared grid; lax.scan threads the state)
@@ -133,7 +190,8 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
     grid2, _ = jax.lax.scan(fuse, grid, (new_poses, data, mask, errs))
 
     return SlamStepResult(grid=grid2, poses=new_poses, reg_error=errs,
-                          pose_grad=grads, rms=rms)
+                          pose_grad=grads, rms=rms,
+                          rays_dropped=rays_dropped)
 
 
 def make_sharded_step(mesh: Mesh, params: LocalizeParams):

@@ -84,7 +84,7 @@ def test_overflow_guard_counts_and_falls_back(monkeypatch):
     """MAX_SEGMENTS overflow must be surfaced (n_dropped) and
     raycast_checked must fall back to the exact march (VERDICT r1 #6 —
     no silent caps)."""
-    from ohm_tsd_slam_tpu.grid import raycast_fast as rf
+    import ohm_tsd_slam_tpu.grid.raycast_fast as rf
 
     grid, geom = _grid_and_geom([(5.12, 5.12, 0.2), (5.3, 5.2, 0.5)])
     pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2,

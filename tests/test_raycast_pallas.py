@@ -13,7 +13,7 @@ import numpy as np
 from ohm_tsd_slam_tpu.config import GridConfig
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid import create, push
-from ohm_tsd_slam_tpu.grid import raycast_fast as rf
+import ohm_tsd_slam_tpu.grid.raycast_fast as rf
 from ohm_tsd_slam_tpu.ops.raycast_pallas import (
     pack_beams,
     pack_segments,

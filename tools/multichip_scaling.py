@@ -65,22 +65,49 @@ devices = np.array(jax.devices("cpu")[:n])
 mesh = Mesh(devices.reshape(n, 1), ("sp", "dp"))
 res = {}
 
-COLL = re.compile(r"(all-gather|all-reduce|collective-permute|"
-                  r"reduce-scatter|all-to-all)")
+# match only lines whose OP is a collective (shape followed by the op
+# name and an open paren) — a bare substring search also hits consumer
+# lines that mention %%all-gather as an operand, which is exactly the
+# miscount behind r2's "4 unexplained all-gathers in sp_push" (2 were
+# fusions CONSUMING the gathered [H,1] coordinate vector)
+COLL = re.compile(r"=\s*(?:\()?[a-z0-9]+\[[0-9,]*\][^=]*?\s"
+                  r"(all-gather|all-reduce|collective-permute|"
+                  r"reduce-scatter|all-to-all)(?:-start)?\(")
+SHAPE = re.compile(r"=\s*(?:\()?\s*([a-z0-9]+)\[([0-9,]*)\]")
+DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+               "u32": 4, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
+
+def shape_bytes(line):
+    m = SHAPE.search(line)
+    if not m:
+        return None
+    esz = DTYPE_BYTES.get(m.group(1), 4)
+    dims = [int(d) for d in m.group(2).split(",") if d]
+    total = esz
+    for d in dims:
+        total *= d
+    return total
 
 def analyze(lowered, compiled):
     mem = compiled.memory_analysis()
     hlo = compiled.as_text()
     colls = {}
+    coll_bytes = []
     for line in hlo.splitlines():
         m = COLL.search(line)
         if m and "=" in line:
             colls[m.group(1)] = colls.get(m.group(1), 0) + 1
+            b = shape_bytes(line)
+            if b is not None:
+                coll_bytes.append({"op": m.group(1), "bytes": b})
     return {
         "argument_bytes_per_device": int(mem.argument_size_in_bytes),
         "output_bytes_per_device": int(mem.output_size_in_bytes),
         "temp_bytes_per_device": int(mem.temp_size_in_bytes),
         "collectives": colls,
+        "collective_result_bytes": coll_bytes,
+        "max_collective_bytes": max((c["bytes"] for c in coll_bytes),
+                                    default=0),
     }
 
 gshard = NamedSharding(mesh, P("sp", None))
@@ -100,6 +127,13 @@ out = push_c(grid_sp)
 assert out.tsd.sharding.is_equivalent_to(gshard, out.tsd.ndim), \
     str(out.tsd.sharding)
 res["sp_push"] = analyze(push_l, push_c)
+# no collective may touch a grid-sized operand: the only collectives
+# XLA inserts are [H,1] cell-coordinate broadcasts feeding backProject's
+# atan2 (~2 KB, O(H) not O(H*W)) — assert they stay far below the
+# local grid shard)
+local_grid_bytes = grid.tsd.size * grid.tsd.dtype.itemsize // n
+assert res["sp_push"]["max_collective_bytes"] < local_grid_bytes // 10, \
+    res["sp_push"]["collective_result_bytes"]
 
 # --- sp-raycast (shard_map): halo exchange + pmin + owned replay -----
 ray_l = jax.jit(
