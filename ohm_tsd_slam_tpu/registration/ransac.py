@@ -177,9 +177,15 @@ class RansacParams:
     scale_orientation: float = 0.33     # _scaleOrientation
     zrand_tsd: float = 0.25             # node "zrand" -> TSD ctor (ThreadLocalize.cpp:190)
     trans_max: float = 0.25             # transMax gate (TwinPointMatching.cpp:97,278)
-    # candidates scored per lax.map step; since the NN search fuses into
-    # a variadic reduce (nothing [chunk, C, N]-sized is materialized),
-    # large chunks just amortize the sequential map dispatch
+    # candidates scored per lax.map step.  The 1024 default ASSUMES the
+    # backend fuses the [chunk, C, N] broadcast producers (d2/diff,
+    # payload tables, iota) into the variadic lax.reduce so nothing
+    # [chunk, C, N]-sized is materialized — true for the TPU and current
+    # CPU XLA pipelines (the CPU test suite runs EXP/PDF/TSD matchers at
+    # this default, so a materialization regression shows up as an
+    # obvious slowdown/memory spike there).  If a backend materializes
+    # them, per-map-step intermediates grow ~8x (hundreds of MB for
+    # large model scans) — drop to 128 in that case (ADVICE r2 #3).
     chunk: int = 1024
 
     @property
