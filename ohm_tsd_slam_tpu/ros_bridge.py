@@ -86,6 +86,30 @@ class RosSlamBridge(Node):  # pragma: no cover - needs rclpy runtime
         interval = config.grid_pub.interval_s
         self._timer = self.create_timer(interval, self._publish_map)
 
+        # tf map->odom broadcast (sendTransform, ThreadLocalize.cpp:
+        # 604-689); optional — tf2_ros may be absent in minimal images
+        self._tf_broadcaster = None
+        try:
+            from tf2_ros import TransformBroadcaster  # type: ignore
+
+            self._tf_broadcaster = TransformBroadcaster(self)
+            self.slam.tf_callbacks.append(self._on_tf)
+        except Exception:
+            pass
+
+    def _on_tf(self, robot, tf):
+        from geometry_msgs.msg import TransformStamped  # type: ignore
+
+        m = TransformStamped()
+        m.header.frame_id = tf.parent_frame
+        m.child_frame_id = tf.child_frame
+        m.header.stamp.sec = int(tf.stamp)
+        m.transform.translation.x = tf.x
+        m.transform.translation.y = tf.y
+        m.transform.rotation.z = math.sin(tf.theta / 2.0)
+        m.transform.rotation.w = math.cos(tf.theta / 2.0)
+        self._tf_broadcaster.sendTransform(m)
+
     def _on_scan(self, msg):
         scan = self._messages.LaserScan(
             ranges=self._np.asarray(msg.ranges, self._np.float64),

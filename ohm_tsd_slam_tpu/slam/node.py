@@ -42,6 +42,7 @@ from ohm_tsd_slam_tpu.slam.mapping import Mapper
 from ohm_tsd_slam_tpu.slam.messages import (
     LaserScan,
     PoseStamped,
+    Transform2D,
     pack_scan,
     unpack_scan,
 )
@@ -78,6 +79,17 @@ class Localizer:
     # odometry rescue (OdometryAnalyzer state; None until first odometry)
     odom_state: Optional[object] = None
     latest_odom: Optional[tuple] = None     # (pose 3x3 np, stamp)
+    # tf chain for the map->odom correction (sendTransform,
+    # ThreadLocalize.cpp:604-689): static laser->footprint transform and
+    # the latest footprint->odom transform (the reference looks both up
+    # from the tf tree; here they are fed via set_static_tf /
+    # on_footprint_odom)
+    tf_laser_footprint: Optional[np.ndarray] = None    # 3x3
+    tf_footprint_odom: Optional[np.ndarray] = None     # 3x3
+    # last successfully computed map->odom tf; re-published when the
+    # footprint->odom lookup is unavailable (the reference broadcasts
+    # its previous _tf in that case — quirk replicated)
+    last_tf: Optional[Transform2D] = None
 
 
 class SlamNode:
@@ -112,6 +124,9 @@ class SlamNode:
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
         self.pose_callbacks: List[Callable[[int, PoseStamped], None]] = []
+        # tf broadcast sink (map->odom correction, sendTransform
+        # ThreadLocalize.cpp:604-689 / sendNanTransform :691-713)
+        self.tf_callbacks: List[Callable[[int, Transform2D], None]] = []
         # per-grid-version isocontour cache: the raycast's segment
         # extraction depends only on the TSD field, so it runs once per
         # map update (mapper drain) instead of once per scan
@@ -288,7 +303,55 @@ class SlamNode:
         loc.last_result = pose_msg
         for cb in self.pose_callbacks:
             cb(robot, pose_msg)
+        self._broadcast_tf(robot, loc, pose_msg, scan.stamp)
         return pose_msg
+
+    def set_static_tf(self, robot: int, x: float, y: float,
+                      yaw: float) -> None:
+        """Static laser->footprint transform (the reference's
+        `lookupTransform(laser, footprint)` fed by the launch file's
+        static tf publishers, launch/slam.launch.py:32-49)."""
+        self.localizers[robot].tf_laser_footprint = np.asarray(
+            se2.make(x, y, yaw, dtype=np.float64))
+
+    def on_footprint_odom(self, robot: int, x: float, y: float,
+                          yaw: float, stamp: float = 0.0) -> None:
+        """Latest footprint->odom transform (the reference's
+        `lookupTransform(footprint, odom)` from the robot's odometry
+        tf)."""
+        self.localizers[robot].tf_footprint_odom = np.asarray(
+            se2.make(x, y, yaw, dtype=np.float64))
+
+    def _broadcast_tf(self, robot: int, loc: Localizer,
+                      pose_msg: PoseStamped, stamp: float) -> None:
+        """The map->odom correction chain of ThreadLocalize::sendTransform
+        (ThreadLocalize.cpp:604-689): tf = pose_map_laser ·
+        T(laser->footprint) · T(footprint->odom), with each hop applied
+        only when available, and the previous tf re-broadcast when the
+        odom hop is missing.  NaN pose => NaN tf (sendNanTransform)."""
+        if not self.tf_callbacks:
+            return
+        if pose_msg.is_nan:
+            tf = Transform2D(math.nan, math.nan, math.nan, stamp=stamp)
+        else:
+            pose = np.asarray(se2.make(pose_msg.x, pose_msg.y,
+                                       pose_msg.theta, dtype=np.float64))
+            if loc.tf_laser_footprint is not None:
+                pose = pose @ loc.tf_laser_footprint
+            if loc.tf_footprint_odom is not None:
+                t = pose @ loc.tf_footprint_odom
+                tf = Transform2D(
+                    x=float(t[0, 2]), y=float(t[1, 2]),
+                    theta=float(math.atan2(t[1, 0], t[0, 0])),
+                    stamp=stamp)
+                loc.last_tf = tf
+            else:
+                # no odom hop: the reference broadcasts its previous
+                # _tf contents (identity before the first success)
+                tf = loc.last_tf or Transform2D(0.0, 0.0, 0.0,
+                                                stamp=stamp)
+        for cb in self.tf_callbacks:
+            cb(robot, tf)
 
     def on_odometry(self, robot: int, x: float, y: float, yaw: float,
                     stamp: float = 0.0) -> None:

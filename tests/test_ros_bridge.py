@@ -116,13 +116,27 @@ def bridge_module(monkeypatch):
                                       ["Image", "LaserScan"]),
         "geometry_msgs": types.ModuleType("geometry_msgs"),
         "geometry_msgs.msg": msg_module("geometry_msgs.msg",
-                                        ["PoseStamped"]),
+                                        ["PoseStamped",
+                                         "TransformStamped"]),
         "nav_msgs": types.ModuleType("nav_msgs"),
         "nav_msgs.msg": msg_module("nav_msgs.msg", ["OccupancyGrid"]),
         "nav_msgs.srv": msg_module("nav_msgs.srv", ["GetMap"]),
         "std_srvs": types.ModuleType("std_srvs"),
         "std_srvs.srv": msg_module("std_srvs.srv", ["SetBool"]),
     }
+
+    tf2_ros = types.ModuleType("tf2_ros")
+
+    class _FakeTfBroadcaster:
+        def __init__(self, node):
+            self.sent = []
+            node.tf_sent = self.sent
+
+        def sendTransform(self, m):
+            self.sent.append(m)
+
+    tf2_ros.TransformBroadcaster = _FakeTfBroadcaster
+    mods["tf2_ros"] = tf2_ros
     for k, v in mods.items():
         monkeypatch.setitem(sys.modules, k, v)
 
@@ -164,9 +178,13 @@ def test_bridge_scan_to_pose_and_map(bridge_module):
     on_scan = bridge.subs["laser"]
     on_scan(_scan_msg(5.12, 5.12, 0.2, 0.0))     # first scan initializes
     assert bridge.pubs["estimated_pose"] == []
+    bridge.slam.on_footprint_odom(0, -0.1, 0.0, 0.0)
     on_scan(_scan_msg(5.14, 5.12, 0.21, 1.0))
     poses = bridge.pubs["estimated_pose"]
     assert len(poses) == 1
+    # tf map->odom broadcast rode along (sendTransform surface)
+    assert len(bridge.tf_sent) == 1
+    assert bridge.tf_sent[0].child_frame_id == "odom"
     p = poses[0]
     # published pose is grid-frame + grid offset (grid offset = -size/2)
     assert abs(p.pose.position.x - (5.14 - 5.12)) < 0.05
