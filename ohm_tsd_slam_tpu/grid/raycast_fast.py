@@ -65,8 +65,8 @@ from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D
 # max isocontour segments kept; segments beyond this are dropped AND
 # counted (n_dropped; a 1024^2 map of corridors has ~10-30k segments)
 MAX_SEGMENTS = 32768
-WINDOW = 12          # refine samples per candidate window
-BACKOFF = 4.0        # window starts this many steps before the candidate
+WINDOW = 8           # refine samples per candidate window
+BACKOFF = 2.0        # window starts this many steps before the candidate
 # backward-compat alias (overflow capacity)
 MAX_CROSSINGS = MAX_SEGMENTS
 # candidate/replay rounds (see raycast_fast docstring)
@@ -468,7 +468,7 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     # candidate search: fused Pallas kernel on TPU f32, jnp elsewhere
     if segments.pack is not None:
         from ohm_tsd_slam_tpu.ops.raycast_pallas import (
-            pack_beams,
+            pad_beams,
             segment_min_pallas,
         )
 
@@ -476,22 +476,25 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
         # saturation workloads) extraction + packing stay unbatched and
         # hoist out of the batch; segment_min_pallas's custom_vmap rule
         # folds the pose batch into the beam axis.  Beam translations
-        # are shifted into the pack's grid-center frame.
+        # are shifted into the pack's grid-center frame.  ONE launch
+        # returns every replay round's candidate level (the t_search
+        # sequence is deterministic from the candidates alone: level k =
+        # earliest intersection >= level k-1 + cover).
         segpack, seg_count = segments.pack, segments.count
         tr_pack = tr - segments.origin
+        levels = segment_min_pallas(
+            segpack, pad_beams(ray, lo, hi, lo, tr_pack), seg_count,
+            levels=ROUNDS, cover=float(WINDOW - BACKOFF - 2.0))
 
-        def candidates(t_after):
-            t = segment_min_pallas(
-                segpack, pack_beams(ray, lo, hi, t_after, tr_pack),
-                seg_count)
-            return t[:B]
+        def candidates(round_idx, t_after):
+            return levels[:B, round_idx]
     else:
-        def candidates(t_after):
+        def candidates(round_idx, t_after):
             return _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
                                        t_after)
 
     # round 1: all beams
-    t_1 = candidates(lo)
+    t_1 = candidates(0, lo)
     has = jnp.isfinite(t_1) & feasible
     k_1 = jnp.where(has, t_1, 0.0)
     hit, any_1, pos_ev, interp = _window_events(
@@ -501,8 +504,9 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
 
     # rounds 2..ROUNDS: compacted unresolved beams only
 
-    for _ in range(ROUNDS - 1):
-        t_r = candidates(jnp.where(resolved, jnp.inf, t_search))
+    for round_idx in range(1, ROUNDS):
+        t_r = candidates(round_idx, jnp.where(resolved, jnp.inf,
+                                              t_search))
         need = jnp.isfinite(t_r) & ~resolved
         n_need = jnp.sum(need, dtype=jnp.int32)
         n_dropped = n_dropped + jnp.maximum(n_need - UNRESOLVED_CAP, 0)

@@ -15,7 +15,7 @@ from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid import create, push
 import ohm_tsd_slam_tpu.grid.raycast_fast as rf
 from ohm_tsd_slam_tpu.ops.raycast_pallas import (
-    pack_beams,
+    pad_beams,
     pack_segments,
     segment_min_pallas,
 )
@@ -43,17 +43,22 @@ def _scene():
     return grid, geom
 
 
-def test_kernel_matches_jnp_candidates():
-    grid, geom = _scene()
-    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), jnp.float32)
+def _geometry(grid, geom, pose_xyt=(5.12, 5.12, 0.2)):
     dtype = jnp.float32
-    s = grid.cell_size
-    B = geom.size
-    rays_world = se2.rotate_vectors(pose, geom.rays_local(dtype))
-    ray = rays_world * s
+    pose = jnp.asarray(np.array(se2.make(*pose_xyt)), dtype)
+    ray = se2.rotate_vectors(pose, geom.rays_local(dtype)) * grid.cell_size
     tr = se2.translation(pose)
+    B = geom.size
     lo = jnp.zeros(B, dtype)
     hi = jnp.full(B, 400.0, dtype)
+    return pose, ray, tr, lo, hi
+
+
+def test_kernel_matches_jnp_candidates():
+    grid, geom = _scene()
+    pose, ray, tr, lo, hi = _geometry(grid, geom)
+    dtype = jnp.float32
+    B = geom.size
 
     p0, p1, sv, nd = rf._isocontour_segments(grid)
     assert int(nd) == 0
@@ -63,8 +68,9 @@ def test_kernel_matches_jnp_candidates():
         ref = rf._segment_candidates(p0, p1, sv, tr, ray, lo, hi, t_after)
         segpack, count = pack_segments(p0, p1, sv)
         assert int(count) == int(sv.sum())
-        beams = pack_beams(ray, lo, hi, t_after, tr)
-        got = segment_min_pallas(segpack, beams, count, interpret=True)[:B]
+        beams = pad_beams(ray, lo, hi, t_after, tr)
+        got = segment_min_pallas(segpack, beams, count,
+                                 interpret=True)[:B, 0]
 
         ref_n = np.array(ref)
         got_n = np.array(got)
@@ -74,25 +80,47 @@ def test_kernel_matches_jnp_candidates():
         np.testing.assert_allclose(got_n[fin], ref_n[fin], rtol=1e-4)
 
 
+def test_kernel_levels_match_sequential_rounds():
+    """The K-level output must equal the sequential per-round candidate
+    searches of the replay loop (level k = earliest t >= level k-1 +
+    cover)."""
+    grid, geom = _scene()
+    pose, ray, tr, lo, hi = _geometry(grid, geom)
+    dtype = jnp.float32
+    B = geom.size
+    cover = 6.0
+
+    p0, p1, sv, _ = rf._isocontour_segments(grid)
+    segpack, count = pack_segments(p0, p1, sv)
+    beams = pad_beams(ray, lo, hi, lo, tr)
+    levels = segment_min_pallas(segpack, beams, count, levels=4,
+                                cover=cover, interpret=True)[:B]
+
+    bound = lo
+    for k in range(4):
+        ref = rf._segment_candidates(p0, p1, sv, tr, ray, lo, hi, bound)
+        ref_n = np.array(ref)
+        got_n = np.array(levels[:, k])
+        np.testing.assert_array_equal(np.isfinite(ref_n),
+                                      np.isfinite(got_n))
+        fin = np.isfinite(ref_n)
+        np.testing.assert_allclose(got_n[fin], ref_n[fin], rtol=1e-4)
+        bound = jnp.where(jnp.isfinite(ref), ref + cover, jnp.inf)
+
+
 def test_kernel_count_truncation_excludes_tail():
     """Segments past `count` must not contribute (the runtime chunk-count
     loop bound)."""
     grid, geom = _scene()
-    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), jnp.float32)
-    dtype = jnp.float32
-    B = geom.size
-    rays_world = se2.rotate_vectors(pose, geom.rays_local(dtype))
-    ray = rays_world * grid.cell_size
-    tr = se2.translation(pose)
-    lo = jnp.zeros(B, dtype)
-    hi = jnp.full(B, 400.0, dtype)
+    pose, ray, tr, lo, hi = _geometry(grid, geom)
 
     p0, p1, sv, _ = rf._isocontour_segments(grid)
     segpack, count = pack_segments(p0, p1, sv)
-    beams = pack_beams(ray, lo, hi, lo, tr)
+    beams = pad_beams(ray, lo, hi, lo, tr)
 
     full = segment_min_pallas(segpack, beams, count, interpret=True)
-    none = segment_min_pallas(segpack, beams, jnp.int32(0), interpret=True)
+    none = segment_min_pallas(segpack, beams, jnp.int32(0),
+                              interpret=True)
     assert np.isfinite(np.array(full)).sum() > 0
     assert not np.isfinite(np.array(none)).any()
 
@@ -113,74 +141,62 @@ def test_kernel_custom_vmap_folds_pose_batch():
         tr = se2.translation(pose)
         lo = jnp.zeros(B, dtype)
         hi = jnp.full(B, 400.0, dtype)
-        return pack_beams(ray, lo, hi, lo, tr)
+        return pad_beams(ray, lo, hi, lo, tr)
 
     deltas = jnp.linspace(-0.05, 0.05, 4, dtype=dtype)
-    beams_b = jax.vmap(per_pose)(deltas)               # [4, 8, Bp]
+    beams_b = jax.vmap(per_pose)(deltas)           # tuple of [4, Bp]
 
     got = jax.vmap(
         lambda bm: segment_min_pallas(segpack, bm, count, interpret=True)
     )(beams_b)
     for i in range(4):
-        one = segment_min_pallas(segpack, beams_b[i], count,
+        one = segment_min_pallas(segpack,
+                                 tuple(a[i] for a in beams_b), count,
                                  interpret=True)
         np.testing.assert_allclose(np.array(got[i]), np.array(one),
                                    rtol=1e-6)
 
 
 def test_kernel_resolved_block_skips_work():
-    """A beam pack with every t_after = +inf must return inf
-    candidates (the in-kernel early exit)."""
+    """Beam attrs with every t_after = +inf must return inf candidates
+    (the in-kernel early exit)."""
     grid, geom = _scene()
     dtype = jnp.float32
     B = geom.size
-    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), dtype)
-    ray = se2.rotate_vectors(pose, geom.rays_local(dtype)) * grid.cell_size
-    tr = se2.translation(pose)
-    lo = jnp.zeros(B, dtype)
-    hi = jnp.full(B, 400.0, dtype)
+    pose, ray, tr, lo, hi = _geometry(grid, geom)
 
     p0, p1, sv, _ = rf._isocontour_segments(grid)
     segpack, count = pack_segments(p0, p1, sv)
-    beams = pack_beams(ray, lo, hi, jnp.full(B, jnp.inf, dtype), tr)
+    beams = pad_beams(ray, lo, hi, jnp.full(B, jnp.inf, dtype), tr)
     out = segment_min_pallas(segpack, beams, count, interpret=True)
     assert not np.isfinite(np.array(out)).any()
 
 
-def test_compact_kernel_matches_jnp(monkeypatch):
-    """ops/compact_pallas.py (interpret) vs grid/compact.py on the real
-    segment layers of a pushed grid."""
-    from ohm_tsd_slam_tpu.grid.compact import compact_mask_values
-    from ohm_tsd_slam_tpu.ops.compact_pallas import compact_channels_pallas
-
+def test_raycast_fast_pallas_path_matches_jnp_on_cpu():
+    """Force the Pallas candidate path in interpret mode end-to-end
+    through raycast_fast and compare with the pure-jnp path."""
     grid, geom = _scene()
-    mask, chans = rf._segment_layers(grid)
-    assert mask.shape[0] % (512 * 128) == 0
+    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), jnp.float32)
 
-    K = 1024
-    _, vals, valid = compact_mask_values(mask, chans, K)
-    packed, count = compact_channels_pallas(mask, chans, K,
-                                            interpret=True)
-    assert int(count) == int(mask.sum())
-    n = min(int(count), K)
-    got_valid = np.array(packed[4, :K] > 0)
-    np.testing.assert_array_equal(got_valid, np.array(valid))
-    for ch in range(4):
-        np.testing.assert_allclose(np.array(packed[ch, :K])[got_valid],
-                                   np.array(vals[ch])[np.array(valid)],
-                                   rtol=0, atol=0)
+    r_jnp = rf.raycast_fast(grid, geom, pose)
 
+    # build a cache with the pallas pack by hand (CPU => interpret)
+    p0, p1, sv, nd = rf._isocontour_segments(grid)
+    origin = rf._pack_origin(grid, jnp.float32)
+    pack, count = pack_segments(p0 - origin, p1 - origin, sv)
+    cache = rf.SegmentCache(p0, p1, sv, nd, pack, count, origin)
 
-def test_compact_kernel_overflow_drops_and_counts():
-    from ohm_tsd_slam_tpu.ops.compact_pallas import compact_channels_pallas
+    import ohm_tsd_slam_tpu.ops.raycast_pallas as rp
+    orig = rp.segment_min_pallas
+    try:
+        rp_interp = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        rp.segment_min_pallas = rp_interp
+        rf_mod_attr = rf.raycast_fast(grid, geom, pose, segments=cache)
+    finally:
+        rp.segment_min_pallas = orig
 
-    grid, geom = _scene()
-    mask, chans = rf._segment_layers(grid)
-    total = int(mask.sum())
-    K = 128
-    assert total > K
-    packed, count = compact_channels_pallas(mask, chans, K,
-                                            interpret=True)
-    assert int(count) == total
-    # stored slots limited to capacity (plus the slack column block)
-    assert int((packed[4] > 0).sum()) <= K + 128
+    np.testing.assert_array_equal(np.asarray(r_jnp.mask),
+                                  np.asarray(rf_mod_attr.mask))
+    m = np.asarray(r_jnp.mask)
+    np.testing.assert_allclose(np.asarray(rf_mod_attr.coords)[m],
+                               np.asarray(r_jnp.coords)[m], atol=1e-4)
