@@ -73,6 +73,12 @@ MAX_CROSSINGS = MAX_SEGMENTS
 ROUNDS = 4
 # set False to force the jnp candidate search on TPU (testing/debug)
 USE_PALLAS = True
+# experimental fused window-replay + normals kernel
+# (ops/window_pallas.py): on-chip it is EXACT vs the jnp path but
+# SLOWER (6.5 ms vs 2.6 ms raycast on v5e — the per-beam one-hot tap
+# extraction costs more than the serial XLA gathers it replaces), so it
+# stays off in production; kept as a validated building block
+USE_WINDOW_KERNEL = False
 
 
 def _on_tpu() -> bool:
@@ -493,12 +499,31 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
             return _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
                                        t_after)
 
-    # round 1: all beams
+    # round 1: all beams.  With the fused Pallas window kernel the
+    # replay + crossing normals run patch-wise in VMEM (the XLA tap
+    # gathers are serial, ~45-65 ns/element); normals for the rare
+    # beams that resolve in later rounds are recomputed per round on
+    # the compacted set below.
     t_1 = candidates(0, lo)
     has = jnp.isfinite(t_1) & feasible
     k_1 = jnp.where(has, t_1, 0.0)
-    hit, any_1, pos_ev, interp = _window_events(
-        grid, tr, ray, idx_min, idx_max, k_1, has)
+    use_window_kernel = False
+    if USE_WINDOW_KERNEL and segments.pack is not None:
+        from ohm_tsd_slam_tpu.ops.window_pallas import (
+            supports_window_kernel,
+            window_normals_pallas,
+        )
+
+        use_window_kernel = supports_window_kernel(grid)
+    if use_window_kernel:
+        m_start = jnp.maximum(jnp.floor(k_1 - idx_min) - BACKOFF, 0.0)
+        hit, any_1, pos_ev, interp, normals_w, n_ok = \
+            window_normals_pallas(grid, idx_min + m_start, ray,
+                                  idx_max, has, tr, WINDOW)
+    else:
+        hit, any_1, pos_ev, interp = _window_events(
+            grid, tr, ray, idx_min, idx_max, k_1, has)
+        normals_w = n_ok = None
     resolved = any_1 | ~has
     t_search = jnp.maximum(lo, k_1 + cover)
 
@@ -527,6 +552,16 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
             jnp.where(take_u[:, None], pos_u, pos_ev[idx_u]), mode="drop")
         interp = interp.at[idx_w].set(
             jnp.where(take_u, int_u, interp[idx_u]), mode="drop")
+        if normals_w is not None:
+            # round-1 normals came from the window kernel; refresh them
+            # for the (rare, compacted) beams this round resolved
+            coords_u = pos_u + ray[idx_u] * (int_u[:, None] - 1.0)
+            n_u, nok_u = interpolate_normal(grid, coords_u)
+            normals_w = normals_w.at[idx_w].set(
+                jnp.where(take_u[:, None], n_u, normals_w[idx_u]),
+                mode="drop")
+            n_ok = n_ok.at[idx_w].set(
+                jnp.where(take_u, nok_u, n_ok[idx_u]), mode="drop")
         resolved = resolved.at[idx_w].set(
             resolved[idx_u] | take_u, mode="drop")
         resolved = resolved | ~need
@@ -535,7 +570,8 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
 
     coords_w = pos_ev + ray * (interp[:, None] - 1.0)
 
-    normals_w, n_ok = interpolate_normal(grid, coords_w)
+    if normals_w is None:
+        normals_w, n_ok = interpolate_normal(grid, coords_w)
     mask = feasible & hit & n_ok
 
     Tinv = se2.invert(pose.astype(dtype))

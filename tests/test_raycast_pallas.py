@@ -200,3 +200,56 @@ def test_raycast_fast_pallas_path_matches_jnp_on_cpu():
     m = np.asarray(r_jnp.mask)
     np.testing.assert_allclose(np.asarray(rf_mod_attr.coords)[m],
                                np.asarray(r_jnp.coords)[m], atol=1e-4)
+
+
+def test_window_kernel_matches_jnp_replay():
+    """ops/window_pallas.py vs _window_events + interpolate_normal
+    (interpret mode): hits, events, positions, interp fractions and
+    crossing normals must agree."""
+    from ohm_tsd_slam_tpu.grid.interpolate import interpolate_normal
+    from ohm_tsd_slam_tpu.ops.window_pallas import (
+        supports_window_kernel,
+        window_normals_pallas,
+    )
+
+    grid, geom = _scene()
+    assert supports_window_kernel(grid)
+    pose, ray, tr, lo, hi = _geometry(grid, geom)
+    dtype = jnp.float32
+    B = geom.size
+
+    # candidates from the jnp reference path
+    p0, p1, sv, _ = rf._isocontour_segments(grid)
+    idx_min = jnp.full((B,), 2.0, dtype)
+    idx_max = jnp.full((B,), 220.0, dtype)
+    t_1 = rf._segment_candidates(p0, p1, sv, tr, ray, idx_min,
+                                 jnp.full((B,), 230.0, dtype), idx_min)
+    has = jnp.isfinite(t_1)
+    k_1 = jnp.where(has, t_1, 0.0)
+
+    ref_hit, ref_any, ref_pos, ref_int = rf._window_events(
+        grid, tr, ray, idx_min, idx_max, k_1, has)
+    ref_coords = ref_pos + ray * (ref_int[:, None] - 1.0)
+    ref_n, ref_nok = interpolate_normal(grid, ref_coords)
+
+    m_start = jnp.maximum(jnp.floor(k_1 - idx_min) - rf.BACKOFF, 0.0)
+    got = window_normals_pallas(grid, idx_min + m_start, ray, idx_max,
+                                has, tr, rf.WINDOW, interpret=True)
+    hit, any_ev, pos_ev, interp, normals, n_ok = got
+
+    np.testing.assert_array_equal(np.asarray(any_ev), np.asarray(ref_any))
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref_hit))
+    m = np.asarray(ref_any)
+    np.testing.assert_allclose(np.asarray(pos_ev)[m],
+                               np.asarray(ref_pos)[m], atol=1e-5)
+    # the kernel extracts taps via one-hot dots whose f32 summation
+    # order differs from XLA's gather path by an ulp; the interp ratio
+    # amplifies that to ~5e-5 cells (~2 um in world units)
+    np.testing.assert_allclose(np.asarray(interp)[m],
+                               np.asarray(ref_int)[m], atol=2e-4)
+    hm = np.asarray(ref_hit)
+    np.testing.assert_array_equal(np.asarray(n_ok)[hm],
+                                  np.asarray(ref_nok)[hm])
+    nm = hm & np.asarray(ref_nok)
+    np.testing.assert_allclose(np.asarray(normals)[nm],
+                               np.asarray(ref_n)[nm], atol=1e-4)
