@@ -214,7 +214,6 @@ def _kernel(window: int, s: float, H: int, W: int, tiles_x: int,
         # 4 samples (+x, -x, +y, -y) on lanes 0..3, rest dummies
         cx = pos_x + rayx * (interp - 1.0)
         cy = pos_y + rayy * (interp - 1.0)
-        f = iota_n.astype(jnp.float32)
         sel = lambda k: (iota_n == k).astype(jnp.float32)
         npx = cx + s * sel(0) - s * sel(1)
         npy = cy + s * sel(2) - s * sel(3)
