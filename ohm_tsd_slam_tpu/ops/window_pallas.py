@@ -65,9 +65,14 @@ NTAP = 8          # tap-batch width (>= window and >= 4, multiple of 8)
 
 def supports_window_kernel(grid) -> bool:
     H, W = grid.tsd.shape
+    # The patch base is aligned DOWN after clipping to H-PATCH_R /
+    # W-PATCH_C, so those clip limits must themselves be sublane/lane
+    # aligned or a window near the top/right edge can lose up to 7 rows
+    # / 127 cols of coverage (out-of-patch taps silently read 0.0).
     return (grid.tsd.dtype == jnp.float32
             and H * W * 4 <= 8 * 1024 * 1024
-            and W >= PATCH_C and H >= PATCH_R)
+            and W >= PATCH_C and H >= PATCH_R
+            and (H - PATCH_R) % 8 == 0 and (W - PATCH_C) % 128 == 0)
 
 
 def _kernel(window: int, s: float, H: int, W: int, tiles_x: int,

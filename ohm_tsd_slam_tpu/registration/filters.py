@@ -100,7 +100,14 @@ def distance_threshold_schedule(max_dist: float, min_dist: float,
     it = float(iterations - 1) if iterations >= 1 else 1.0
     if iterations < 1:
         it = 1.0
-    mult = (min_dist / max_dist) ** (1.0 / it)
+    if it == 0.0:
+        # iterations == 1 (reachable via the replicated unsigned wrap at
+        # cfg.iterations == 11): the reference computes pow(ratio, 1/0)
+        # = pow(ratio, inf) = 0 for ratio < 1, collapsing every step's
+        # gate to mindist^2 (DistanceFilter.cpp:11-29).
+        mult = 0.0
+    else:
+        mult = (min_dist / max_dist) ** (1.0 / it)
     k = np.arange(length)
     d2 = (max_dist ** 2) * mult ** k
     return jnp.asarray(np.maximum(d2, min_dist ** 2))

@@ -104,6 +104,7 @@ class RosSlamBridge(Node):  # pragma: no cover - needs rclpy runtime
         m.header.frame_id = tf.parent_frame
         m.child_frame_id = tf.child_frame
         m.header.stamp.sec = int(tf.stamp)
+        m.header.stamp.nanosec = int((tf.stamp - int(tf.stamp)) * 1e9)
         m.transform.translation.x = tf.x
         m.transform.translation.y = tf.y
         m.transform.rotation.z = math.sin(tf.theta / 2.0)

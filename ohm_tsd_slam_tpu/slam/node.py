@@ -18,6 +18,7 @@ replicating the reference's lossy real-time behavior) are provided.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import threading
 import time
@@ -347,9 +348,13 @@ class SlamNode:
                 loc.last_tf = tf
             else:
                 # no odom hop: the reference broadcasts its previous
-                # _tf contents (identity before the first success)
-                tf = loc.last_tf or Transform2D(0.0, 0.0, 0.0,
-                                                stamp=stamp)
+                # _tf contents (identity before the first success) but
+                # always with a FRESH stamp (_tf.header.stamp =
+                # _stampLaser, ThreadLocalize.cpp:683) — re-sending an
+                # old stamp would make tf2 consumers drop the frame
+                tf = (dataclasses.replace(loc.last_tf, stamp=stamp)
+                      if loc.last_tf is not None
+                      else Transform2D(0.0, 0.0, 0.0, stamp=stamp))
         for cb in self.tf_callbacks:
             cb(robot, tf)
 

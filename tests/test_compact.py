@@ -59,3 +59,68 @@ def test_compact_overflow_keeps_first_k():
     idx, valid = compact_mask(jnp.asarray(m), k)
     assert bool(jnp.all(valid))
     np.testing.assert_array_equal(np.asarray(idx), np.nonzero(m)[0][:k])
+
+
+def _pushed_scene():
+    import math
+
+    from ohm_tsd_slam_tpu.config import GridConfig
+    from ohm_tsd_slam_tpu.core import se2
+    from ohm_tsd_slam_tpu.grid import create, push
+    from ohm_tsd_slam_tpu.sensor import polar2d
+    from ohm_tsd_slam_tpu.utils.testing import rect_walls, simulate_scan
+
+    geom = polar2d.SensorPolar2D(
+        size=541, angular_res=math.radians(270.0 / 541),
+        phi_min=math.radians(-135.0), max_range=12.0, min_range=0.01,
+        low_reflectivity_range=2.0)
+    grid = create(GridConfig(map_size=9, cellsize=0.02),
+                  dtype=jnp.float32)
+    walls = rect_walls(1.5, 1.5, 8.5, 8.5)
+    for pose_xyt in [(5.12, 5.12, 0.2), (5.3, 5.2, 0.5)]:
+        pose = np.array(se2.make(*pose_xyt, dtype=np.float64))
+        r = simulate_scan(pose, geom.size, geom.angular_res, geom.phi_min,
+                          geom.max_range, segments=walls,
+                          circles=[((7.0, 7.2), 0.5), ((3.0, 7.5), 0.35)])
+        data, mask = polar2d.standard_mask(geom, jnp.asarray(r, jnp.float32))
+        grid = push(grid, geom, jnp.asarray(pose, jnp.float32), data, mask)
+    return grid, geom
+
+
+def test_compact_kernel_matches_jnp():
+    """ops/compact_pallas.py (interpret) vs grid/compact.py on the real
+    segment layers of a pushed grid (the production TPU compaction path
+    inside raycast_fast._isocontour_segments)."""
+    from ohm_tsd_slam_tpu.grid import raycast_fast as rf
+    from ohm_tsd_slam_tpu.ops.compact_pallas import compact_channels_pallas
+
+    grid, geom = _pushed_scene()
+    mask, chans = rf._segment_layers(grid)
+
+    K = 1024
+    _, vals, valid = compact_mask_values(mask, chans, K)
+    packed, count = compact_channels_pallas(mask, chans, K,
+                                            interpret=True)
+    assert int(count) == int(mask.sum())
+    got_valid = np.array(packed[4, :K] > 0)
+    np.testing.assert_array_equal(got_valid, np.array(valid))
+    for ch in range(4):
+        np.testing.assert_allclose(np.array(packed[ch, :K])[got_valid],
+                                   np.array(vals[ch])[np.array(valid)],
+                                   rtol=0, atol=0)
+
+
+def test_compact_kernel_overflow_drops_and_counts():
+    from ohm_tsd_slam_tpu.grid import raycast_fast as rf
+    from ohm_tsd_slam_tpu.ops.compact_pallas import compact_channels_pallas
+
+    grid, geom = _pushed_scene()
+    mask, chans = rf._segment_layers(grid)
+    total = int(mask.sum())
+    K = 128
+    assert total > K
+    packed, count = compact_channels_pallas(mask, chans, K,
+                                            interpret=True)
+    assert int(count) == total
+    # stored slots limited to capacity (plus the slack column block)
+    assert int((packed[4] > 0).sum()) <= K + 128
