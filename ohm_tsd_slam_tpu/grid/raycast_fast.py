@@ -73,12 +73,10 @@ MAX_CROSSINGS = MAX_SEGMENTS
 ROUNDS = 4
 # set False to force the jnp candidate search on TPU (testing/debug)
 USE_PALLAS = True
-# experimental fused window-replay + normals kernel
-# (ops/window_pallas.py): on-chip it is EXACT vs the jnp path but
-# SLOWER (6.5 ms vs 2.6 ms raycast on v5e — the per-beam one-hot tap
-# extraction costs more than the serial XLA gathers it replaces), so it
-# stays off in production; kept as a validated building block
-USE_WINDOW_KERNEL = False
+# capacity for beams the block window kernel defers to the jnp replay
+# (window does not fit the 16-beam block patch — depth discontinuities;
+# typically ~1-4% of beams); overflow counts into n_dropped
+DEFER_CAP = 128
 
 
 def _on_tpu() -> bool:
@@ -471,7 +469,12 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     hi = jnp.ceil(idx_max) + 1.0
     cover = WINDOW - BACKOFF - 2.0
 
-    # candidate search: fused Pallas kernel on TPU f32, jnp elsewhere
+    # candidate search: fused Pallas kernel on TPU f32, jnp elsewhere.
+    # Round-1 candidates come from a 1-level launch; the (rarely
+    # needed) later levels are computed in a SECOND launch after the
+    # replay, seeded with t_after = +inf for already-resolved beams —
+    # the kernel's all-resolved block skip then makes it near-free in
+    # the common case where every beam resolves in round 1.
     if segments.pack is not None:
         from ohm_tsd_slam_tpu.ops.raycast_pallas import (
             pad_beams,
@@ -482,44 +485,82 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
         # saturation workloads) extraction + packing stay unbatched and
         # hoist out of the batch; segment_min_pallas's custom_vmap rule
         # folds the pose batch into the beam axis.  Beam translations
-        # are shifted into the pack's grid-center frame.  ONE launch
-        # returns every replay round's candidate level (the t_search
-        # sequence is deterministic from the candidates alone: level k =
-        # earliest intersection >= level k-1 + cover).
+        # are shifted into the pack's grid-center frame.
         segpack, seg_count = segments.pack, segments.count
         tr_pack = tr - segments.origin
-        levels = segment_min_pallas(
+        lev1 = segment_min_pallas(
             segpack, pad_beams(ray, lo, hi, lo, tr_pack), seg_count,
-            levels=ROUNDS, cover=float(WINDOW - BACKOFF - 2.0))
-
-        def candidates(round_idx, t_after):
-            return levels[:B, round_idx]
+            levels=1, cover=0.0)
+        t_1 = lev1[:B, 0]
     else:
-        def candidates(round_idx, t_after):
-            return _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
-                                       t_after)
+        t_1 = _segment_candidates(p0, p1, svalid, tr, ray, lo, hi, lo)
 
-    # round 1: all beams.  With the fused Pallas window kernel the
-    # replay + crossing normals run patch-wise in VMEM (the XLA tap
-    # gathers are serial, ~45-65 ns/element); normals for the rare
-    # beams that resolve in later rounds are recomputed per round on
-    # the compacted set below.
-    t_1 = candidates(0, lo)
     has = jnp.isfinite(t_1) & feasible
     k_1 = jnp.where(has, t_1, 0.0)
-    use_window_kernel = False
-    if USE_WINDOW_KERNEL and segments.pack is not None:
-        from ohm_tsd_slam_tpu.ops.window_pallas import (
-            supports_window_kernel,
-            window_normals_pallas,
+
+    # round 1: all beams.  On TPU the replay + crossing normals run in
+    # the block-batched Pallas kernel (the XLA tap gathers are serial,
+    # ~33-144 ns/element); beams whose window does not fit their
+    # block's patch are replayed on the jnp path below, and normals for
+    # the rare beams that resolve in later rounds are recomputed per
+    # round on the compacted set.
+    use_kernel = False
+    if segments.pack is not None:
+        from ohm_tsd_slam_tpu.ops.window_block_pallas import (
+            KG as _KG,
+            block_patches,
+            supports_block_kernel,
+            window_block_pallas,
         )
 
-        use_window_kernel = supports_window_kernel(grid)
-    if use_window_kernel:
+        use_kernel = supports_block_kernel(grid) and _on_tpu()
+    if use_kernel:
         m_start = jnp.maximum(jnp.floor(k_1 - idx_min) - BACKOFF, 0.0)
-        hit, any_1, pos_ev, interp, normals_w, n_ok = \
-            window_normals_pallas(grid, idx_min + m_start, ray,
-                                  idx_max, has, tr, WINDOW)
+        t_w0 = idx_min + m_start
+        padk = (-B) % _KG
+
+        def _pd(x, fill=0.0):
+            if padk == 0:
+                return x
+            return jnp.pad(x, ((0, padk),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=fill)
+
+        tr_rows = jnp.broadcast_to(tr, (B + padk, 2))
+        pr_b, pcs_b, fits = block_patches(grid, _pd(t_w0), _pd(ray),
+                                          tr_rows, WINDOW)
+        hit, any_1, pos_ev, interp, normals_w, n_ok = window_block_pallas(
+            grid, _pd(t_w0), _pd(ray), _pd(idx_max, -1.0), _pd(has),
+            tr_rows, pr_b, pcs_b, WINDOW)
+        hit = hit[:B]
+        any_1 = any_1[:B]
+        pos_ev = pos_ev[:B]
+        interp = interp[:B]
+        normals_w = normals_w[:B]
+        n_ok = n_ok[:B]
+
+        # deferred beams (window does not fit the block patch — depth
+        # discontinuities inside a block): exact jnp replay on a
+        # compacted set; overflow beyond DEFER_CAP counts into
+        # n_dropped and raycast_checked falls back to the exact march
+        defer = has & ~fits[:B]
+        n_defer = jnp.sum(defer, dtype=jnp.int32)
+        n_dropped = n_dropped + jnp.maximum(n_defer - DEFER_CAP, 0)
+        idx_d, dvalid = compact_mask(jnp.pad(defer, (0, (-B) % 128)),
+                                     DEFER_CAP)
+        idx_d = jnp.minimum(idx_d, B - 1)
+        k_d = jnp.where(dvalid, t_1[idx_d], 0.0)
+        hit_d, any_d, pos_d, int_d = _window_events(
+            grid, tr, ray[idx_d], idx_min[idx_d], idx_max[idx_d],
+            k_d, dvalid)
+        coords_d = pos_d + ray[idx_d] * (int_d[:, None] - 1.0)
+        nrm_d, nok_d = interpolate_normal(grid, coords_d)
+        idx_w = jnp.where(dvalid, idx_d, B)
+        hit = hit.at[idx_w].set(hit_d, mode="drop")
+        any_1 = any_1.at[idx_w].set(any_d, mode="drop")
+        pos_ev = pos_ev.at[idx_w].set(pos_d, mode="drop")
+        interp = interp.at[idx_w].set(int_d, mode="drop")
+        normals_w = normals_w.at[idx_w].set(nrm_d, mode="drop")
+        n_ok = n_ok.at[idx_w].set(nok_d, mode="drop")
     else:
         hit, any_1, pos_ev, interp = _window_events(
             grid, tr, ray, idx_min, idx_max, k_1, has)
@@ -527,7 +568,23 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     resolved = any_1 | ~has
     t_search = jnp.maximum(lo, k_1 + cover)
 
-    # rounds 2..ROUNDS: compacted unresolved beams only
+    # rounds 2..ROUNDS: compacted unresolved beams only.  Candidate
+    # levels for them come from the second sweep launch (bound chain
+    # identical to the rounds loop's t_search sequence: level k =
+    # earliest intersection >= level k-1 + cover).
+    if ROUNDS > 1 and segments.pack is not None:
+        t_after2 = jnp.where(resolved, jnp.inf, t_search)
+        lev_rest = segment_min_pallas(
+            segpack, pad_beams(ray, lo, hi, t_after2, tr_pack),
+            seg_count, levels=ROUNDS - 1,
+            cover=float(WINDOW - BACKOFF - 2.0))
+
+        def candidates(round_idx, t_after):
+            return lev_rest[:B, round_idx - 1]
+    else:
+        def candidates(round_idx, t_after):
+            return _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
+                                       t_after)
 
     for round_idx in range(1, ROUNDS):
         t_r = candidates(round_idx, jnp.where(resolved, jnp.inf,

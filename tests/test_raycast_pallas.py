@@ -202,18 +202,22 @@ def test_raycast_fast_pallas_path_matches_jnp_on_cpu():
                                np.asarray(r_jnp.coords)[m], atol=1e-4)
 
 
-def test_window_kernel_matches_jnp_replay():
-    """ops/window_pallas.py vs _window_events + interpolate_normal
-    (interpret mode): hits, events, positions, interp fractions and
-    crossing normals must agree."""
+def test_window_block_kernel_matches_jnp_replay():
+    """ops/window_block_pallas.py vs _window_events + interpolate_normal
+    (interpret mode): for beams that fit their block patch, events must
+    agree exactly; positions/interp/normals to FMA-fusion tolerance (the
+    kernel and the XLA gather path are separate compilations, so f32
+    mul+add chains may contract differently by an ulp)."""
     from ohm_tsd_slam_tpu.grid.interpolate import interpolate_normal
-    from ohm_tsd_slam_tpu.ops.window_pallas import (
-        supports_window_kernel,
-        window_normals_pallas,
+    from ohm_tsd_slam_tpu.ops.window_block_pallas import (
+        KG,
+        block_patches,
+        supports_block_kernel,
+        window_block_pallas,
     )
 
     grid, geom = _scene()
-    assert supports_window_kernel(grid)
+    assert supports_block_kernel(grid)
     pose, ray, tr, lo, hi = _geometry(grid, geom)
     dtype = jnp.float32
     B = geom.size
@@ -233,23 +237,116 @@ def test_window_kernel_matches_jnp_replay():
     ref_n, ref_nok = interpolate_normal(grid, ref_coords)
 
     m_start = jnp.maximum(jnp.floor(k_1 - idx_min) - rf.BACKOFF, 0.0)
-    got = window_normals_pallas(grid, idx_min + m_start, ray, idx_max,
-                                has, tr, rf.WINDOW, interpret=True)
-    hit, any_ev, pos_ev, interp, normals, n_ok = got
+    t_w0 = idx_min + m_start
+    pad = (-B) % KG
+    pd = lambda x, f=0.0: jnp.pad(
+        x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=f)
+    tr_rows = jnp.broadcast_to(tr, (B + pad, 2))
+    pr, pcs, fits = block_patches(grid, pd(t_w0), pd(ray), tr_rows,
+                                  rf.WINDOW)
+    hit, any_ev, pos_ev, interp, normals, n_ok = window_block_pallas(
+        grid, pd(t_w0), pd(ray), pd(idx_max), pd(has), tr_rows, pr, pcs,
+        rf.WINDOW, interpret=True)
 
-    np.testing.assert_array_equal(np.asarray(any_ev), np.asarray(ref_any))
-    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref_hit))
-    m = np.asarray(ref_any)
-    np.testing.assert_allclose(np.asarray(pos_ev)[m],
+    ok = np.asarray(fits[:B] & has)
+    assert ok.sum() > 0.8 * int(np.asarray(has).sum())
+    np.testing.assert_array_equal(np.asarray(any_ev[:B])[ok],
+                                  np.asarray(ref_any)[ok])
+    np.testing.assert_array_equal(np.asarray(hit[:B])[ok],
+                                  np.asarray(ref_hit)[ok])
+    m = ok & np.asarray(ref_hit)
+    np.testing.assert_allclose(np.asarray(pos_ev[:B])[m],
                                np.asarray(ref_pos)[m], atol=1e-5)
-    # the kernel extracts taps via one-hot dots whose f32 summation
-    # order differs from XLA's gather path by an ulp; the interp ratio
-    # amplifies that to ~5e-5 cells (~2 um in world units)
-    np.testing.assert_allclose(np.asarray(interp)[m],
+    np.testing.assert_allclose(np.asarray(interp[:B])[m],
                                np.asarray(ref_int)[m], atol=2e-4)
-    hm = np.asarray(ref_hit)
-    np.testing.assert_array_equal(np.asarray(n_ok)[hm],
-                                  np.asarray(ref_nok)[hm])
-    nm = hm & np.asarray(ref_nok)
-    np.testing.assert_allclose(np.asarray(normals)[nm],
+    np.testing.assert_array_equal(np.asarray(n_ok[:B])[m],
+                                  np.asarray(ref_nok)[m])
+    nm = m & np.asarray(ref_nok)
+    np.testing.assert_allclose(np.asarray(normals[:B])[nm],
                                np.asarray(ref_n)[nm], atol=1e-4)
+
+
+def test_window_block_kernel_vmap_folds_pose_batch():
+    """vmap over poses with a shared grid must fold into the beam axis
+    and give the same results as per-pose calls."""
+    from ohm_tsd_slam_tpu.ops.window_block_pallas import (
+        KG,
+        block_patches,
+        window_block_pallas,
+    )
+
+    grid, geom = _scene()
+    dtype = jnp.float32
+    B = geom.size
+    pad = (-B) % KG
+    Bp = B + pad
+
+    def run(pose_xyt):
+        pose, ray, tr, lo, hi = _geometry(grid, geom, pose_xyt)
+        t_w0 = jnp.full((B,), 150.0, dtype)
+        idx_max = jnp.full((B,), 220.0, dtype)
+        has = jnp.ones((B,), bool)
+        pd = lambda x, f=0.0: jnp.pad(
+            x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=f)
+        tr_rows = jnp.broadcast_to(tr, (Bp, 2))
+        pr, pcs, fits = block_patches(grid, pd(t_w0), pd(ray), tr_rows,
+                                      rf.WINDOW)
+        return pd(t_w0), pd(ray), pd(idx_max), pd(has), tr_rows, pr, pcs, fits
+
+    poses = [(5.12, 5.12, 0.2), (5.2, 5.0, 0.4)]
+    packed = [run(p) for p in poses]
+    batched = [jnp.stack([pk[i] for pk in packed]) for i in range(7)]
+
+    out_b = jax.vmap(
+        lambda tw, ry, im, hs, trr, pr, pcs: window_block_pallas(
+            grid, tw, ry, im, hs, trr, pr, pcs, rf.WINDOW,
+            interpret=True))(*batched)
+    for n, pk in enumerate(packed):
+        out_1 = window_block_pallas(grid, *pk[:7], rf.WINDOW,
+                                    interpret=True)
+        fits = np.asarray(pk[7])
+        for a, b in zip(out_b, out_1):
+            # assert_array_equal treats NaNs in matching positions as equal
+            np.testing.assert_array_equal(np.asarray(a[n])[fits],
+                                          np.asarray(b)[fits])
+
+
+def test_raycast_fast_block_kernel_path_matches_jnp_on_cpu():
+    """Force the FULL TPU path (candidate kernel + block window kernel,
+    interpret mode) end-to-end through raycast_fast and compare with the
+    pure-jnp path."""
+    grid, geom = _scene()
+    pose = jnp.asarray(np.array(se2.make(5.12, 5.12, 0.2)), jnp.float32)
+
+    r_jnp = rf.raycast_fast(grid, geom, pose)
+
+    p0, p1, sv, nd = rf._isocontour_segments(grid)
+    origin = rf._pack_origin(grid, jnp.float32)
+    pack, count = pack_segments(p0 - origin, p1 - origin, sv)
+    cache = rf.SegmentCache(p0, p1, sv, nd, pack, count, origin)
+
+    import ohm_tsd_slam_tpu.ops.raycast_pallas as rp
+    import ohm_tsd_slam_tpu.ops.window_block_pallas as wbp
+
+    orig_min = rp.segment_min_pallas
+    orig_win = wbp.window_block_pallas
+    orig_tpu = rf._on_tpu
+    try:
+        rp.segment_min_pallas = (
+            lambda *a, **k: orig_min(*a, **{**k, "interpret": True}))
+        wbp.window_block_pallas = (
+            lambda *a, **k: orig_win(*a, **{**k, "interpret": True}))
+        rf._on_tpu = lambda: True
+        r_k = rf.raycast_fast(grid, geom, pose, segments=cache)
+    finally:
+        rp.segment_min_pallas = orig_min
+        wbp.window_block_pallas = orig_win
+        rf._on_tpu = orig_tpu
+
+    np.testing.assert_array_equal(np.asarray(r_jnp.mask),
+                                  np.asarray(r_k.mask))
+    m = np.asarray(r_jnp.mask)
+    np.testing.assert_allclose(np.asarray(r_k.coords)[m],
+                               np.asarray(r_jnp.coords)[m], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_k.normals)[m],
+                               np.asarray(r_jnp.normals)[m], atol=1e-3)
