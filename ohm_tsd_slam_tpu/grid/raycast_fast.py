@@ -414,24 +414,19 @@ def _window_events(grid, tr, ray, idx_min, idx_max, k_cand, has_cand):
     return hit, any_ev, pos_ev, interp
 
 
-def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
-                 pose: jnp.ndarray,
-                 segments: Optional[SegmentCache] = None,
-                 max_segments: int = None) -> RaycastResult:
-    """Splat+refine raycast.  `segments` — an extract_segments() cache
-    for THIS grid version — skips the per-scan isocontour extraction
-    (the pose-independent 2/3 of the cost); without it the extraction
-    runs inline (identical results either way, asserted in tests)."""
+def beam_geometry(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray):
+    """World-frame beam step vectors + per-beam march clip range.
+
+    Returns (ray [B,2], tr [2], idx_min [B], idx_max [B], feasible [B]);
+    the clipping is identical to grid/raycast.py (slab clip to the grid
+    AABB + min/max range, RayCastPolar2D.cpp:205-219)."""
     dtype = grid.tsd.dtype
     s = grid.cell_size
-    B = geom.size
-
     rays_local = geom.rays_local(dtype)
     rays_world = se2.rotate_vectors(pose.astype(dtype), rays_local)
     ray = rays_world * s
     tr = se2.translation(pose).astype(dtype)
 
-    # ---- per-beam clipping (identical to grid/raycast.py) --------------
     inside = grid.is_inside(tr)
     big = jnp.asarray(10e9, dtype)
     def_min = jnp.where(inside, -big, big)
@@ -449,6 +444,20 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     idx_min = jnp.maximum(idx_min, geom.min_range / s)
     idx_max = jnp.minimum(jnp.minimum(xmax, ymax), geom.max_range / s)
     feasible = idx_min < idx_max
+    return ray, tr, idx_min, idx_max, feasible
+
+
+def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
+                 pose: jnp.ndarray,
+                 segments: Optional[SegmentCache] = None,
+                 max_segments: int = None) -> RaycastResult:
+    """Splat+refine raycast.  `segments` — an extract_segments() cache
+    for THIS grid version — skips the per-scan isocontour extraction
+    (the pose-independent 2/3 of the cost); without it the extraction
+    runs inline (identical results either way, asserted in tests)."""
+    dtype = grid.tsd.dtype
+    B = geom.size
+    ray, tr, idx_min, idx_max, feasible = beam_geometry(grid, geom, pose)
 
     # ---- isocontour segments + intersection candidates ------------------
     # ROUNDS candidate/replay rounds: a double-crossing inside one march
@@ -539,9 +548,16 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
         n_ok = n_ok[:B]
 
         # deferred beams (window does not fit the block patch — depth
-        # discontinuities inside a block): exact jnp replay on a
-        # compacted set; overflow beyond DEFER_CAP counts into
-        # n_dropped and raycast_checked falls back to the exact march
+        # discontinuities inside a block): replay on a compacted set
+        # via the per-beam-patch kernel (a per-beam window ALWAYS fits
+        # its own 24x128 patch; fully-inactive 8-slot programs skip all
+        # work, so this is near-free when nothing deferred); overflow
+        # beyond DEFER_CAP counts into n_dropped and raycast_checked
+        # falls back to the exact march
+        from ohm_tsd_slam_tpu.ops.window_block_pallas import (
+            window_single_pallas,
+        )
+
         defer = has & ~fits[:B]
         n_defer = jnp.sum(defer, dtype=jnp.int32)
         n_dropped = n_dropped + jnp.maximum(n_defer - DEFER_CAP, 0)
@@ -549,11 +565,11 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
                                      DEFER_CAP)
         idx_d = jnp.minimum(idx_d, B - 1)
         k_d = jnp.where(dvalid, t_1[idx_d], 0.0)
-        hit_d, any_d, pos_d, int_d = _window_events(
-            grid, tr, ray[idx_d], idx_min[idx_d], idx_max[idx_d],
-            k_d, dvalid)
-        coords_d = pos_d + ray[idx_d] * (int_d[:, None] - 1.0)
-        nrm_d, nok_d = interpolate_normal(grid, coords_d)
+        im_d = idx_min[idx_d]
+        ms_d = jnp.maximum(jnp.floor(k_d - im_d) - BACKOFF, 0.0)
+        hit_d, any_d, pos_d, int_d, nrm_d, nok_d = window_single_pallas(
+            grid, im_d + ms_d, ray[idx_d], idx_max[idx_d], dvalid,
+            jnp.broadcast_to(tr, (DEFER_CAP, 2)), WINDOW)
         idx_w = jnp.where(dvalid, idx_d, B)
         hit = hit.at[idx_w].set(hit_d, mode="drop")
         any_1 = any_1.at[idx_w].set(any_d, mode="drop")
@@ -596,9 +612,19 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
         idx_u, uvalid = compact_mask(need_pad, UNRESOLVED_CAP)
         idx_u = jnp.minimum(idx_u, B - 1)
         k_u = jnp.where(uvalid, t_r[idx_u], 0.0)
-        hit_u, any_u, pos_u, int_u = _window_events(
-            grid, tr, ray[idx_u], idx_min[idx_u], idx_max[idx_u],
-            k_u, uvalid)
+        if use_kernel:
+            im_u = idx_min[idx_u]
+            ms_u = jnp.maximum(jnp.floor(k_u - im_u) - BACKOFF, 0.0)
+            hit_u, any_u, pos_u, int_u, n_u, nok_u = \
+                window_single_pallas(
+                    grid, im_u + ms_u, ray[idx_u], idx_max[idx_u],
+                    uvalid, jnp.broadcast_to(tr, (UNRESOLVED_CAP, 2)),
+                    WINDOW)
+        else:
+            hit_u, any_u, pos_u, int_u = _window_events(
+                grid, tr, ray[idx_u], idx_min[idx_u], idx_max[idx_u],
+                k_u, uvalid)
+            n_u = nok_u = None
         take_u = any_u & uvalid
         # scatter back; pad slots target out-of-range B and are dropped
         # (their idx 0 placeholder could collide with a real beam-0 slot)
@@ -612,8 +638,9 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
         if normals_w is not None:
             # round-1 normals came from the window kernel; refresh them
             # for the (rare, compacted) beams this round resolved
-            coords_u = pos_u + ray[idx_u] * (int_u[:, None] - 1.0)
-            n_u, nok_u = interpolate_normal(grid, coords_u)
+            if n_u is None:
+                coords_u = pos_u + ray[idx_u] * (int_u[:, None] - 1.0)
+                n_u, nok_u = interpolate_normal(grid, coords_u)
             normals_w = normals_w.at[idx_w].set(
                 jnp.where(take_u[:, None], n_u, normals_w[idx_u]),
                 mode="drop")

@@ -14,10 +14,10 @@ and the matmuls over BEAM BLOCKS:
     needed column sits at lane 0 — the one-hot contraction then runs
     over PATCH_C=128 columns instead of 256 (half the MXU passes);
   * all KG beams x WINDOW samples x 4 bilinear corners are extracted
-    with one one-hot matmul per corner side; the f32 VALUE dot and the
-    NaN-MASK dot are separate, the mask in bfloat16 — a {0,1} one-hot
-    times a {0,1} mask accumulated in f32 is exact at any precision and
-    skips the ~3-pass f32 MXU decomposition;
+    with ONE one-hot matmul (value and NaN-mask patch halves stacked on
+    the LHS, left/right corner columns stacked on the RHS lanes)
+    followed by cheap masked row-reductions — 2 matmuls per block
+    instead of ~16 per beam;
   * the exact-march event scan (RayCastPolar2D.cpp:237-270 semantics:
     +to- hit, -to+ back-face reject, NaN-invalid samples) and the
     central-difference normals (TsdGrid.cpp:517-546) run vectorized over
@@ -131,18 +131,15 @@ def _kernel(window: int, s: float, H: int, W: int,
     a (1, KG) VMEM block would violate the (8, 128) block-divisibility
     rule).  pr/pcs: [1, NB] i32 SMEM rows.  tsd_ref: [H, W] VMEM (whole
     grid).  out_ref: [KG, 8] — columns hit, any_ev, pos_x, pos_y,
-    interp, nx, ny, n_ok.  val_ref: [PATCH_R, PATCH_C] f32 scratch
-    (NaN-sanitized, column-rotated values); nan_ref: same in bf16 for
-    the NaN-ness mask.
+    interp, nx, ny, n_ok.  val_ref: [2*PATCH_R, PATCH_C] f32 scratch
+    (NaN-sanitized, column-rotated values; NaN-ness mask in the lower
+    half).
     """
     NW = window
     L = KG * NW                                     # window lanes
     LN = KG * NORM_P                                # normal lanes
-    g = pl.program_id(0)
-    b0 = g * KG
-
-    pr = pl.multiple_of(pr_ref[0, g], 8)
-    pcs = pcs_ref[0, g]
+    pr = pl.multiple_of(pr_ref[0, 0, 0], 8)
+    pcs = pcs_ref[0, 0, 0]
     pc = pl.multiple_of((jnp.minimum(pcs, W - LOAD_C) // 128) * 128, 128)
     d = pcs - pc                                    # in [0, LOAD_C)
     raw = tsd_ref[pl.ds(pr, PATCH_R), pl.ds(pc, LOAD_C)]
@@ -157,10 +154,10 @@ def _kernel(window: int, s: float, H: int, W: int,
     iosub = jax.lax.broadcasted_iota(jnp.int32, (KG, 1), 0)
 
     def col(ref):
-        """[KG, 1] column from KG consecutive SMEM scalars."""
-        out = jnp.broadcast_to(ref[0, b0], (KG, 1))
+        """[KG, 1] column from the program's KG SMEM scalars."""
+        out = jnp.broadcast_to(ref[0, 0, 0], (KG, 1))
         for k in range(1, KG):
-            out = jnp.where(iosub == k, ref[0, b0 + k], out)
+            out = jnp.where(iosub == k, ref[0, 0, k], out)
         return out
 
     tw0 = col(tw_ref)
@@ -228,9 +225,9 @@ def _kernel(window: int, s: float, H: int, W: int,
 
     def lane(ref):
         """[1, L] lane row: lane l takes beam l // NW's SMEM scalar."""
-        out = jnp.broadcast_to(ref[0, b0], (1, L))
+        out = jnp.broadcast_to(ref[0, 0, 0], (1, L))
         for k in range(1, KG):
-            out = jnp.where(grp == k, ref[0, b0 + k], out)
+            out = jnp.where(grp == k, ref[0, 0, k], out)
         return out
 
     twf = lane(tw_ref) + jl.astype(jnp.float32)     # t_w per lane
@@ -352,15 +349,25 @@ def _raw_call(window: int, cell_size: float, interpret: bool, tsd,
     H, W = tsd.shape
 
     def rows(x):
-        return x.astype(jnp.float32).reshape(1, B)
+        return x.astype(jnp.float32).reshape(NB, 1, KG)
 
     attrs = (rows(tw0), rows(rayx), rows(rayy), rows(imax), rows(has),
              rows(trx), rows(tryy))
     kern = partial(_kernel, window, cell_size, H, W)
+    # SMEM attr windows are BLOCKED per program (KG scalars each, via a
+    # leading block axis — the (8, 128)/equal-dims rule constrains the
+    # LAST TWO dims only) so a folded pose batch never exceeds the
+    # ~1 MB SMEM budget (full [1, N*B] rows OOM'd at the 128-pose
+    # saturation workload)
     return pl.pallas_call(
         kern,
         grid=(NB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9 + [
+        in_specs=[pl.BlockSpec((1, 1, KG), lambda g: (g, 0, 0),
+                               memory_space=pltpu.SMEM)] * 7 + [
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((H, W), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -369,7 +376,7 @@ def _raw_call(window: int, cell_size: float, interpret: bool, tsd,
         out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2 * PATCH_R, PATCH_C), jnp.float32)],
         interpret=interpret,
-    )(*attrs, pr.reshape(1, NB), pcs.reshape(1, NB), tsd)
+    )(*attrs, pr.reshape(NB, 1, 1), pcs.reshape(NB, 1, 1), tsd)
 
 
 def _make_custom(window: int, cell_size: float, interpret: bool):
@@ -426,6 +433,336 @@ def window_block_pallas(grid, t_w0, ray, idx_max, has_cand, tr,
         _CUSTOM[key] = _make_custom(*key)
     out = _CUSTOM[key](grid.tsd, t_w0, ray[:, 0], ray[:, 1], idx_max,
                        has_cand, tr[:, 0], tr[:, 1], pr, pcs)
+    hit = out[:, 0] > 0
+    any_ev = out[:, 1] > 0
+    pos_ev = out[:, 2:4]
+    interp = out[:, 4]
+    normals = out[:, 5:7]
+    n_ok = out[:, 7] > 0
+    return hit, any_ev, pos_ev, interp, normals, n_ok
+
+
+# ---------------------------------------------------------------------------
+# Per-beam-patch variant for small compacted beam sets (the deferred
+# beams of the block kernel and the rounds-2+ unresolved beams of
+# grid/raycast_fast.py).  Beams are unrelated, so each gets its OWN
+# patch — 8 per program, stacked in one scratch so a single one-hot
+# matmul still serves all of them — and a per-beam span always fits
+# (window + normal stencil <= 14 rows/cols, patch = 24 x 128 rotated).
+# Programs whose 8 slots are all inactive skip everything, so in the
+# common case (every beam resolves in round 1, no deferrals) the launch
+# costs only its program overhead.
+# ---------------------------------------------------------------------------
+
+KG1 = 8           # beams per program (out rows align to 8 sublanes)
+PR1 = 24          # per-beam patch rows (span <= 14 + 7 align + slack)
+NPR1 = KG1 * PR1  # stacked value rows per program
+
+
+def single_patches(grid, t_w0, ray, tr, window: int):
+    """Per-BEAM patch bases for the single-beam kernel (always fit)."""
+    H, W = grid.tsd.shape
+    s = grid.cell_size
+    u0 = (tr[:, 0] + t_w0 * ray[:, 0]) / s - 0.5
+    u1 = (tr[:, 0] + (t_w0 + (window - 1)) * ray[:, 0]) / s - 0.5
+    v0 = (tr[:, 1] + t_w0 * ray[:, 1]) / s - 0.5
+    v1 = (tr[:, 1] + (t_w0 + (window - 1)) * ray[:, 1]) / s - 0.5
+    r_lo = jnp.clip(jnp.floor(jnp.minimum(v0, v1)).astype(jnp.int32) - 2,
+                    0, H - 1)
+    c_lo = jnp.clip(jnp.floor(jnp.minimum(u0, u1)).astype(jnp.int32) - 2,
+                    0, W - 1)
+    pr = (jnp.clip(r_lo, 0, H - PR1) // 8) * 8
+    return pr, c_lo
+
+
+def _kernel_single(window: int, s: float, H: int, W: int,
+                   tw_ref, rx_ref, ry_ref, im_ref, act_ref, trx_ref,
+                   try_ref, pr_ref, pcs_ref, tsd_ref, out_ref, val_ref):
+    """8 unrelated beams per program, each with its own stacked patch.
+
+    Same semantics as _kernel (see its docstring); val_ref:
+    [2*NPR1, PATCH_C] f32 scratch — value rows 0..NPR1-1 (beam k at
+    k*PR1), NaN-mask rows NPR1..2*NPR1-1.  Inactive slots leave stale
+    patch rows; their outputs are garbage and masked by the caller.
+    """
+    NW = window
+    L = KG1 * NW
+    LN = KG1 * NORM_P
+
+    anyact = act_ref[0, 0, 0]
+    for k in range(1, KG1):
+        anyact = jnp.maximum(anyact, act_ref[0, 0, k])
+
+    @pl.when(anyact > 0.0)
+    def _():
+        for k in range(KG1):
+            @pl.when(act_ref[0, 0, k] > 0.0)
+            def _(k=k):
+                pr_k = pl.multiple_of(pr_ref[0, 0, k], 8)
+                pcs_k = pcs_ref[0, 0, k]
+                pc_k = pl.multiple_of(
+                    (jnp.minimum(pcs_k, W - LOAD_C) // 128) * 128, 128)
+                d = pcs_k - pc_k
+                raw = tsd_ref[pl.ds(pr_k, PR1), pl.ds(pc_k, LOAD_C)]
+                rolled = pltpu.roll(raw, (LOAD_C - d) % LOAD_C, 1)
+                win = rolled[:, 0:PATCH_C]
+                isn = jnp.isnan(win)
+                val_ref[k * PR1:(k + 1) * PR1, :] = jnp.where(
+                    isn, 0.0, win)
+                val_ref[NPR1 + k * PR1:NPR1 + (k + 1) * PR1, :] = \
+                    jnp.where(isn, 1.0, 0.0)
+
+        iosub = jax.lax.broadcasted_iota(jnp.int32, (KG1, 1), 0)
+
+        def col(ref):
+            out = jnp.broadcast_to(ref[0, 0, 0], (KG1, 1))
+            for k in range(1, KG1):
+                out = jnp.where(iosub == k, ref[0, 0, k], out)
+            return out
+
+        tw0 = col(tw_ref)
+        rx = col(rx_ref)
+        ry = col(ry_ref)
+        act = col(act_ref) > 0.0
+        trx = col(trx_ref)
+        try_ = col(try_ref)
+
+        def lane_sm(ref, nl, grp_l):
+            out = jnp.broadcast_to(ref[0, 0, 0], (1, nl))
+            for k in range(1, KG1):
+                out = jnp.where(grp_l == k, ref[0, 0, k], out)
+            return out
+
+        def taps(ixf, iyf, wxf, wyf, nlanes, grp_l):
+            pr_l = lane_sm(pr_ref, nlanes, grp_l)
+            pcs_l = lane_sm(pcs_ref, nlanes, grp_l)
+            rrel = iyf - pr_l                    # within-beam patch row
+            r0 = rrel + grp_l * PR1              # stacked scratch row
+            c0 = ixf - pcs_l
+            ios = jax.lax.broadcasted_iota(jnp.int32,
+                                           (PATCH_C, nlanes), 0)
+            csel_l = (ios == c0).astype(jnp.float32)
+            csel_r = (ios == (c0 + 1)).astype(jnp.float32)
+            csel = jnp.concatenate([csel_l, csel_r], axis=1)
+            M = jax.lax.dot(val_ref[:, :], csel,
+                            preferred_element_type=jnp.float32)
+            Mv = M[0:NPR1, :]
+            Mn = M[NPR1:2 * NPR1, :]
+            ior = jax.lax.broadcasted_iota(jnp.int32, (NPR1, nlanes), 0)
+
+            def pick(Mh, rsel):
+                return jnp.sum(jnp.where(ior == rsel, Mh, 0.0), axis=0,
+                               keepdims=True)
+
+            def corner(sl, dr, dc):
+                rr = r0 + dr
+                v = pick(Mv[:, sl], rr)
+                nn = pick(Mn[:, sl], rr)
+                iy = iyf + dr
+                ix = ixf + dc
+                oob = (ix < 0) | (ix >= W) | (iy < 0) | (iy >= H)
+                outp = ((rrel + dr) < 0) | ((rrel + dr) >= PR1) \
+                    | ((c0 + dc) < 0) | ((c0 + dc) >= PATCH_C)
+                return jnp.where(oob | outp | (nn > 0.5), jnp.nan, v)
+
+            sL = slice(0, nlanes)
+            sR = slice(nlanes, 2 * nlanes)
+            v00 = corner(sL, 0, 0)
+            v10 = corner(sL, 1, 0)
+            v01 = corner(sR, 0, 1)
+            v11 = corner(sR, 1, 1)
+            val = (v00 * (1.0 - wyf) * (1.0 - wxf)
+                   + v10 * wyf * (1.0 - wxf)
+                   + v01 * (1.0 - wyf) * wxf
+                   + v11 * wyf * wxf)
+            base_ok = (ixf >= 0) & (ixf < W) & (iyf >= 0) & (iyf < H)
+            return jnp.where(base_ok, val, jnp.nan)
+
+        iol = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        jl = iol % NW
+        grp = iol // NW
+        twf = lane_sm(tw_ref, L, grp) + jl.astype(jnp.float32)
+        px = lane_sm(trx_ref, L, grp) + twf * lane_sm(rx_ref, L, grp)
+        py = lane_sm(try_ref, L, grp) + twf * lane_sm(ry_ref, L, grp)
+        u = px / s - 0.5
+        v_ = py / s - 0.5
+        ixw = jnp.floor(u)
+        iyw = jnp.floor(v_)
+        wxw = u - ixw
+        wyw = v_ - iyw
+        v64 = taps(ixw.astype(jnp.int32), iyw.astype(jnp.int32),
+                   wxw, wyw, L, grp)
+
+        v_cur = pltpu.roll(v64, L - 1, 1)
+        imax_l = lane_sm(im_ref, L, grp)
+        tw_cur = pltpu.roll(twf, L - 1, 1)
+        sample_ok = ((tw_cur - 1.0) <= imax_l) & (jl < NW - 1)
+        ev_pos = (v64 > 0) & (v_cur < 0) & sample_ok
+        ev_neg = (v64 < 0) & (v_cur > 0) & sample_ok
+        ev = ev_pos | ev_neg
+
+        iob = jax.lax.broadcasted_iota(jnp.int32, (KG1, L), 0)
+        bsel = grp == iob
+        jf = jl.astype(jnp.float32)
+        BIG = jnp.float32(NW + 1)
+        k_ev = jnp.min(jnp.where(bsel & ev, jf, BIG), axis=1,
+                       keepdims=True)
+        any_ev = (k_ev < BIG) & act
+        k_ev = jnp.minimum(k_ev, jnp.float32(NW - 2))
+        oh_k = bsel & (jf == k_ev)
+        hit = any_ev & (jnp.sum(jnp.where(oh_k & ev_pos, 1.0, 0.0),
+                                axis=1, keepdims=True) > 0)
+        vp = jnp.sum(jnp.where(oh_k, jnp.where(jnp.isnan(v64), 0.0, v64),
+                               0.0), axis=1, keepdims=True)
+        vc = jnp.sum(jnp.where(oh_k,
+                               jnp.where(jnp.isnan(v_cur), 0.0, v_cur),
+                               0.0), axis=1, keepdims=True)
+        interp = vp / (vp - vc)
+        t_ev = tw0 + (k_ev + 1.0)
+        pos_x = trx + t_ev * rx
+        pos_y = try_ + t_ev * ry
+
+        cx = pos_x + rx * (interp - 1.0)
+        cy = pos_y + ry * (interp - 1.0)
+        ion = jax.lax.broadcasted_iota(jnp.int32, (1, LN), 1)
+        pn = ion % NORM_P
+        grpn = ion // NORM_P
+
+        def lane_n(colv):
+            out = jnp.broadcast_to(jax.lax.slice(colv, (0, 0), (1, 1)),
+                                   (1, LN))
+            for k in range(1, KG1):
+                out = jnp.where(grpn == k,
+                                jax.lax.slice(colv, (k, 0), (k + 1, 1)),
+                                out)
+            return out
+
+        cx_l = lane_n(cx)
+        cy_l = lane_n(cy)
+        dxl = jnp.where(pn == 0, 1.0, jnp.where(pn == 1, -1.0, 0.0))
+        dyl = jnp.where(pn == 2, 1.0, jnp.where(pn == 3, -1.0, 0.0))
+        un = (cx_l + s * dxl) / s - 0.5
+        vn = (cy_l + s * dyl) / s - 0.5
+        ixn = jnp.floor(un)
+        iyn = jnp.floor(vn)
+        wxn = un - ixn
+        wyn = vn - iyn
+        nv = taps(ixn.astype(jnp.int32), iyn.astype(jnp.int32),
+                  wxn, wyn, LN, grpn)
+
+        iobn = jax.lax.broadcasted_iota(jnp.int32, (KG1, LN), 0)
+        bseln = grpn == iobn
+
+        def npick(p):
+            m = bseln & (pn == p)
+            ok = jnp.sum(jnp.where(m & jnp.isnan(nv), 1.0, 0.0), axis=1,
+                         keepdims=True) == 0
+            val = jnp.sum(jnp.where(m, jnp.where(jnp.isnan(nv), 0.0, nv),
+                                    0.0), axis=1, keepdims=True)
+            return val, ok
+
+        xp, ok0 = npick(0)
+        xm, ok1 = npick(1)
+        yp, ok2 = npick(2)
+        ym, ok3 = npick(3)
+        n_ok = ok0 & ok1 & ok2 & ok3
+        nx = xp - xm
+        ny = yp - ym
+        norm = jnp.sqrt(nx * nx + ny * ny)
+        den = jnp.where(norm > 0, norm, 1.0)
+        nxn = jnp.where(n_ok, nx / den, jnp.nan)
+        nyn = jnp.where(n_ok, ny / den, jnp.nan)
+
+        io8 = jax.lax.broadcasted_iota(jnp.int32, (KG1, 8), 1)
+        row = jnp.where(io8 == 0, jnp.where(hit, 1.0, 0.0),
+              jnp.where(io8 == 1, jnp.where(any_ev, 1.0, 0.0),
+              jnp.where(io8 == 2, pos_x,
+              jnp.where(io8 == 3, pos_y,
+              jnp.where(io8 == 4, interp,
+              jnp.where(io8 == 5, nxn,
+              jnp.where(io8 == 6, nyn,
+                        jnp.where(n_ok, 1.0, 0.0))))))))
+        out_ref[:, :] = row
+
+
+def _raw_call_single(window: int, cell_size: float, interpret: bool,
+                     tsd, tw0, rayx, rayy, imax, act, trx, tryy, pr,
+                     pcs):
+    B = tw0.shape[0]
+    assert B % KG1 == 0, B
+    NB = B // KG1
+    H, W = tsd.shape
+
+    def rows(x):
+        return x.astype(jnp.float32).reshape(NB, 1, KG1)
+
+    attrs = (rows(tw0), rows(rayx), rows(rayy), rows(imax), rows(act),
+             rows(trx), rows(tryy))
+    kern = partial(_kernel_single, window, cell_size, H, W)
+    return pl.pallas_call(
+        kern,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec((1, 1, KG1), lambda g: (g, 0, 0),
+                               memory_space=pltpu.SMEM)] * 9 + [
+            pl.BlockSpec((H, W), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((KG1, 8), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * NPR1, PATCH_C), jnp.float32)],
+        interpret=interpret,
+    )(*attrs, pr.reshape(NB, 1, KG1).astype(jnp.int32),
+      pcs.reshape(NB, 1, KG1).astype(jnp.int32), tsd)
+
+
+def _make_custom_single(window: int, cell_size: float, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(tsd, tw0, rayx, rayy, imax, act, trx, tryy, pr, pcs):
+        return _raw_call_single(window, cell_size, interpret, tsd, tw0,
+                                rayx, rayy, imax, act, trx, tryy, pr,
+                                pcs)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, tsd, *rest):
+        if not in_batched[0] and all(in_batched[1:]):
+            flat = [a.reshape(-1) for a in rest]
+            out = f(tsd, *flat)
+            return out.reshape(axis_size, -1, 8), True
+
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                x, (axis_size,) + jnp.shape(x))
+
+        args = [bcast(a, b)
+                for a, b in zip((tsd,) + rest, in_batched)]
+        out = jax.lax.map(lambda a: f(*a), tuple(args))
+        return out, True
+
+    return f
+
+
+_CUSTOM_SINGLE = {}
+
+
+def window_single_pallas(grid, t_w0, ray, idx_max, active, tr,
+                         window: int, interpret: bool = False):
+    """Per-beam-patch window replay + normals for compacted beam sets.
+
+    Args:
+      t_w0/ray/idx_max/active/tr: as window_block_pallas, B % 8 == 0
+        (B = the compaction capacity).  `active` masks real slots;
+        fully-inactive 8-slot programs skip all work.
+    Returns the same tuple as window_block_pallas; inactive rows are
+    garbage (mask with `active`).
+    """
+    pr, pcs = single_patches(grid, t_w0, ray, tr, window)
+    key = (int(window), float(grid.cell_size), bool(interpret))
+    if key not in _CUSTOM_SINGLE:
+        _CUSTOM_SINGLE[key] = _make_custom_single(*key)
+    out = _CUSTOM_SINGLE[key](grid.tsd, t_w0, ray[:, 0], ray[:, 1],
+                              idx_max, active, tr[:, 0], tr[:, 1], pr,
+                              pcs)
     hit = out[:, 0] > 0
     any_ev = out[:, 1] > 0
     pos_ev = out[:, 2:4]

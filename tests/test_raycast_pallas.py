@@ -330,17 +330,21 @@ def test_raycast_fast_block_kernel_path_matches_jnp_on_cpu():
 
     orig_min = rp.segment_min_pallas
     orig_win = wbp.window_block_pallas
+    orig_single = wbp.window_single_pallas
     orig_tpu = rf._on_tpu
     try:
         rp.segment_min_pallas = (
             lambda *a, **k: orig_min(*a, **{**k, "interpret": True}))
         wbp.window_block_pallas = (
             lambda *a, **k: orig_win(*a, **{**k, "interpret": True}))
+        wbp.window_single_pallas = (
+            lambda *a, **k: orig_single(*a, **{**k, "interpret": True}))
         rf._on_tpu = lambda: True
         r_k = rf.raycast_fast(grid, geom, pose, segments=cache)
     finally:
         rp.segment_min_pallas = orig_min
         wbp.window_block_pallas = orig_win
+        wbp.window_single_pallas = orig_single
         rf._on_tpu = orig_tpu
 
     np.testing.assert_array_equal(np.asarray(r_jnp.mask),
@@ -350,3 +354,61 @@ def test_raycast_fast_block_kernel_path_matches_jnp_on_cpu():
                                np.asarray(r_jnp.coords)[m], atol=1e-4)
     np.testing.assert_allclose(np.asarray(r_k.normals)[m],
                                np.asarray(r_jnp.normals)[m], atol=1e-3)
+
+
+def test_window_single_kernel_matches_jnp_replay():
+    """ops/window_block_pallas.py::window_single_pallas (per-beam
+    patches, interpret mode) vs _window_events + interpolate_normal on
+    an arbitrary compacted beam subset — no fit condition at all."""
+    from ohm_tsd_slam_tpu.grid.interpolate import interpolate_normal
+    from ohm_tsd_slam_tpu.ops.window_block_pallas import (
+        window_single_pallas,
+    )
+
+    grid, geom = _scene()
+    pose, ray, tr, lo, hi = _geometry(grid, geom)
+    dtype = jnp.float32
+    B = geom.size
+
+    p0, p1, sv, _ = rf._isocontour_segments(grid)
+    idx_min = jnp.full((B,), 2.0, dtype)
+    idx_max = jnp.full((B,), 220.0, dtype)
+    t_1 = rf._segment_candidates(p0, p1, sv, tr, ray, idx_min,
+                                 jnp.full((B,), 230.0, dtype), idx_min)
+    has = jnp.isfinite(t_1)
+    k_1 = jnp.where(has, t_1, 0.0)
+
+    # scattered subset incl. some inactive pad slots
+    CAP = 64
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(np.sort(rng.choice(B, CAP, replace=False)))
+    act = has[idx] & (jnp.arange(CAP) < CAP - 5)
+
+    ref_hit, ref_any, ref_pos, ref_int = rf._window_events(
+        grid, tr, ray[idx], idx_min[idx], idx_max[idx],
+        jnp.where(act, k_1[idx], 0.0), act)
+    ref_coords = ref_pos + ray[idx] * (ref_int[:, None] - 1.0)
+    ref_n, ref_nok = interpolate_normal(grid, ref_coords)
+
+    im = idx_min[idx]
+    kk = jnp.where(act, k_1[idx], 0.0)
+    ms = jnp.maximum(jnp.floor(kk - im) - rf.BACKOFF, 0.0)
+    hit, any_ev, pos_ev, interp, normals, n_ok = window_single_pallas(
+        grid, im + ms, ray[idx], idx_max[idx], act,
+        jnp.broadcast_to(tr, (CAP, 2)), rf.WINDOW, interpret=True)
+
+    am = np.asarray(act)
+    np.testing.assert_array_equal(np.asarray(any_ev)[am],
+                                  np.asarray(ref_any)[am])
+    np.testing.assert_array_equal(np.asarray(hit)[am],
+                                  np.asarray(ref_hit)[am])
+    m = am & np.asarray(ref_hit)
+    np.testing.assert_allclose(np.asarray(pos_ev)[m],
+                               np.asarray(ref_pos)[m], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(interp)[m],
+                               np.asarray(ref_int)[m], atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(n_ok)[m],
+                                  np.asarray(ref_nok)[m])
+    nm = m & np.asarray(ref_nok)
+    np.testing.assert_allclose(np.asarray(normals)[nm],
+                               np.asarray(ref_n)[nm], atol=1e-4)
