@@ -116,12 +116,16 @@ def _phi_at(geom: SensorPolar2D, cell_size: float, tsd: jnp.ndarray,
 
 def _newton_refine(geom: SensorPolar2D, cell_size: float, tsd: jnp.ndarray,
                    pose: jnp.ndarray, r0: jnp.ndarray, hit: jnp.ndarray,
-                   iters: int = 8) -> jnp.ndarray:
+                   iters: int = 4) -> jnp.ndarray:
     """Polish the marched crossing to the exact root of the bilinear field.
 
     Guarded Newton on r -> Phi(o + r d): steps are clamped to half a cell
     (the crossing lies within one cell of the march's estimate), and beams
-    with a vanishing directional derivative keep their estimate.
+    with a vanishing directional derivative keep their estimate.  Four
+    iterations suffice: the start is already inside the crossing cell
+    (sub-cell linear interpolation) and Newton converges quadratically
+    on the cellwise-quadratic field; each iteration costs a serial
+    4-tap gather pass, so fewer is measurably faster (VERDICT r3 #6).
     """
     max_step = 0.5 * cell_size
 
@@ -144,10 +148,12 @@ def _ift_fwd(geom, cell_size, tsd, pose, r0, hit_f):
 def _ift_bwd(geom, cell_size, residuals, g):
     tsd, pose, r0, hit_f = residuals
 
-    # dF/dr per beam: one JVP of Phi along the ray parameter.
-    _, f_r = jax.jvp(lambda r: _phi_at(geom, cell_size, tsd, pose, r)[0],
-                     (r0,), (jnp.ones_like(r0),))
-    _, ok = _phi_at(geom, cell_size, tsd, pose, r0)
+    # dF/dr per beam + validity in ONE tap pass (the taps dominate:
+    # XLA lowers them to serial gathers, so every extra Phi evaluation
+    # costs ~0.1 ms/scan)
+    (_, ok), (f_r, _) = jax.jvp(
+        lambda r: _phi_at(geom, cell_size, tsd, pose, r),
+        (r0,), (jnp.ones_like(r0),))
 
     # At a +/- crossing the field decreases along the ray, so dF/dr < 0;
     # guard against grazing hits where the directional derivative

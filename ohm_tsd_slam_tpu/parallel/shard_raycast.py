@@ -277,3 +277,62 @@ def sharded_raycast(mesh: Mesh, grid: TsdGrid, geom: SensorPolar2D,
         out_specs=P(),
     )
     return fn(grid.tsd, pose)
+
+
+def _map_residual_body(geom: SensorPolar2D, cell_size: float,
+                       axis: str, tsd_local, pose, data, mask):
+    """shard_map body: mean squared TSD at owned scan points.
+
+    Each shard evaluates the bilinear reads whose BASE CELL row it owns
+    (one halo row covers the iy+1 taps), then a scalar psum pair
+    reproduces parallel/sharded.py::map_residual_loss without gathering
+    the grid."""
+    from ohm_tsd_slam_tpu.sensor.polar2d import data_to_cartesian
+
+    dtype = tsd_local.dtype
+    s = cell_size
+    h = tsd_local.shape[0]
+    idx_sp = jax.lax.axis_index(axis)
+    y0_rows = idx_sp * h
+
+    scene, valid = data_to_cartesian(geom, data, mask)
+    world = se2.transform_points(pose.astype(dtype), scene)
+
+    tsd_halo = _halo_exchange(tsd_local, axis)
+    local = world - jnp.array([0.0, (y0_rows - HALO) * s], dtype)
+    v, ok = _bilinear_raw(tsd_halo, local, s)
+    iy = jnp.floor(world[..., 1] / s - 0.5).astype(jnp.int32)
+    own = (iy >= y0_rows) & (iy < y0_rows + h)
+    use = valid & ok & own
+    num = jax.lax.psum(jnp.sum(jnp.where(use, v * v, 0.0)), axis)
+    den = jax.lax.psum(jnp.sum(use), axis)
+    return num / jnp.maximum(den, 1)
+
+
+def sharded_map_residual(mesh: Mesh, grid: TsdGrid, geom: SensorPolar2D,
+                         pose: jnp.ndarray, data: jnp.ndarray,
+                         mask: jnp.ndarray, axis: str = "sp"):
+    """map_residual_loss against a row-sharded grid (communication =
+    halo ppermute + two scalar psums; differentiable through the
+    shard_map for the pose-gradient)."""
+    body = partial(_map_residual_body, geom, float(grid.cell_size), axis)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=P(),
+    )
+    return fn(grid.tsd, pose, data, mask)
+
+
+def sharded_pose_gradient(mesh: Mesh, grid: TsdGrid, geom: SensorPolar2D,
+                          pose: jnp.ndarray, data: jnp.ndarray,
+                          mask: jnp.ndarray, axis: str = "sp"):
+    """d(map residual)/d(x, y, theta) with the grid left row-sharded
+    (the sharded analogue of parallel/sharded.py::pose_gradient)."""
+
+    def loss(p3):
+        delta = se2.make(p3[0], p3[1], p3[2], dtype=pose.dtype)
+        return sharded_map_residual(mesh, grid, geom, pose @ delta,
+                                    data, mask, axis)
+
+    return jax.grad(loss)(jnp.zeros(3, dtype=pose.dtype))

@@ -90,7 +90,8 @@ def pose_gradient(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
 def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
                           data: jnp.ndarray, mask: jnp.ndarray,
                           params: LocalizeParams,
-                          key: jnp.ndarray = None) -> SlamStepResult:
+                          key: jnp.ndarray = None,
+                          mesh: Mesh = None) -> SlamStepResult:
     """One full SLAM cycle for R robots sharing one grid.
 
     Every registration mode of localize_step runs sharded: ICP, the
@@ -107,6 +108,14 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
         robot, as in config/double-laser.yaml).
       key: PRNG key for the stochastic matchers (split per robot);
         defaults to PRNGKey(0) — callers should pass a per-step key.
+      mesh: when given, the model render and the pose-gradient run
+        through the explicit shard_map paths (halo exchange + pmin/psum
+        over "sp", parallel/shard_raycast.py) instead of letting GSPMD
+        satisfy their grid reads — the collectives then stay
+        O(halo + beams) per scan instead of gathering grid rows.  ICP /
+        EXP / PDF modes are fully covered (their registration reads no
+        grid); the TSD / AMCL / GN matchers still read the grid through
+        GSPMD (control-point taps, not certified-bounded).
     """
     geom = params.geom
     R = poses.shape[0]
@@ -115,9 +124,26 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, R)
 
+    from ohm_tsd_slam_tpu.parallel.shard_raycast import (
+        sharded_pose_gradient,
+        sharded_raycast,
+    )
+
     rays_dropped = jnp.asarray(0, jnp.int32)
     if mode == int(RegMode.GN):
         models = None
+    elif mesh is not None:
+        # explicit halo-exchange raycast per robot; per-shard segment
+        # capacity (and hence temps) scale 1/n.  No exact-march
+        # fallback here: it would gather the sharded grid; overflow is
+        # surfaced via rays_dropped instead (per-shard capacity already
+        # scales with 1/n of the rows, so overflow needs ~n x the
+        # single-device segment load).
+        models = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[sharded_raycast(mesh, grid, geom, poses[r])
+              for r in range(R)])
+        rays_dropped = jnp.sum(models.n_dropped)
     else:
         # overflow guard OUTSIDE the vmap: a lax.cond under vmap lowers
         # to a select that would always execute the expensive exact
@@ -168,13 +194,23 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
             err = err | (jnp.sum(model.mask) == 0)
             rms = res.rms
         new_pose = jnp.where(err, pose, pose @ T)
-        grad = pose_gradient(grid, geom, new_pose, d, m)
+        if mesh is None:
+            grad = pose_gradient(grid, geom, new_pose, d, m)
+        else:
+            grad = sharded_pose_gradient(mesh, grid, geom, new_pose,
+                                         d, m)
         return new_pose, err, grad, rms
 
     if models is None:   # GN: no model render at all
         new_poses, errs, grads, rms = jax.vmap(
             lambda p, d, m, k: localize_one(p, d, m, None, k))(
                 poses, data, mask, keys)
+    elif mesh is not None:
+        outs = [localize_one(poses[r], data[r], mask[r],
+                             jax.tree.map(lambda x: x[r], models),
+                             keys[r]) for r in range(R)]
+        new_poses, errs, grads, rms = (
+            jnp.stack([o[i] for o in outs]) for i in range(4))
     else:
         new_poses, errs, grads, rms = jax.vmap(localize_one)(
             poses, data, mask, models, keys)
@@ -195,7 +231,12 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
 
 
 def make_sharded_step(mesh: Mesh, params: LocalizeParams):
-    """jit the multi-robot step with explicit shardings over `mesh`."""
+    """jit the multi-robot step with explicit shardings over `mesh`.
+
+    The step runs with the explicit shard_map raycast/pose-gradient
+    paths (mesh passed through) so its per-scan collectives stay
+    O(halo + beams) — verified by tools/multichip_scaling.py against
+    the compiled executable."""
     gshard = NamedSharding(mesh, P("sp", None))
     tshard = NamedSharding(mesh, P("sp", None))
     rshard = NamedSharding(mesh, P("dp"))
@@ -210,7 +251,8 @@ def make_sharded_step(mesh: Mesh, params: LocalizeParams):
             tile_initw=jax.device_put(grid.tile_initw, tshard),
         )
 
-    step = jax.jit(partial(multi_robot_slam_step, params=params))
+    step = jax.jit(partial(multi_robot_slam_step, params=params,
+                           mesh=mesh))
 
     def place(grid, poses, data, mask):
         return (grid_shardings(grid),
