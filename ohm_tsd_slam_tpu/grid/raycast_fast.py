@@ -99,9 +99,24 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
     """
     if max_segments is None:
         max_segments = MAX_SEGMENTS   # resolved at call time (patchable)
-    mask, chans = _segment_layers(grid)
 
     use_pallas = USE_PALLAS and grid.tsd.dtype == jnp.float32 and _on_tpu()
+    mask = chans = row_cnt = None
+    if use_pallas:
+        from ohm_tsd_slam_tpu.ops.segment_layers_pallas import (
+            segment_layers_pallas,
+            supports_segment_kernel,
+        )
+
+        if supports_segment_kernel(grid):
+            # fused marching squares: the XLA _segment_layers spends
+            # ~2.4 ms materializing its ~20 intermediate [H, W] arrays;
+            # the kernel writes only the layer outputs + row counts
+            mask, chans, row_cnt = segment_layers_pallas(
+                grid.tsd, grid.cell_size)
+    if mask is None:
+        mask, chans = _segment_layers(grid)
+
     if use_pallas:
         from ohm_tsd_slam_tpu.ops.compact_pallas import (
             CHUNK as _CHUNK,
@@ -115,12 +130,14 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
             # row prefilter: only ~1-5% of 128-lane rows carry segments;
             # gather the nonzero rows so the sequential append kernel
             # (and the butterfly) touch ROW_CAP rows instead of all.
-            # Row counts go through an MXU matvec (XLA's lane-axis bool
-            # reduction costs ~1.3 ms on the 131072-row layer stack) and
-            # mask + channels ride one fused gather instead of five.
+            # Row counts come from the segment kernel, or an MXU matvec
+            # (XLA's lane-axis bool reduction costs ~1.3 ms on the
+            # 131072-row layer stack); mask + channels ride one fused
+            # gather instead of five.
             m2f = mask.reshape(-1, _CHUNK).astype(jnp.float32)
-            row_cnt = (m2f @ jnp.ones((_CHUNK,), jnp.float32)
-                       ).astype(jnp.int32)
+            if row_cnt is None:
+                row_cnt = (m2f @ jnp.ones((_CHUNK,), jnp.float32)
+                           ).astype(jnp.int32)
             total = jnp.sum(row_cnt)
             sel, sel_ok = compact_mask(row_cnt > 0, ROW_CAP)
             big = jnp.concatenate(
@@ -144,6 +161,8 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
                          + jnp.maximum(counted - max_segments, 0))
             return p0, p1, svalid, n_dropped
 
+    if mask.dtype != bool:      # f32 0/1 from the segment kernel
+        mask = mask > 0.0
     n_total = jnp.sum(mask, dtype=jnp.int32)
     n_dropped = jnp.maximum(n_total - max_segments, 0)
     _, vals, valid = compact_mask_values(mask, chans, max_segments)

@@ -412,3 +412,30 @@ def test_window_single_kernel_matches_jnp_replay():
     nm = m & np.asarray(ref_nok)
     np.testing.assert_allclose(np.asarray(normals)[nm],
                                np.asarray(ref_n)[nm], atol=1e-4)
+
+
+def test_segment_layers_kernel_matches_jnp():
+    """ops/segment_layers_pallas.py (interpret) vs _segment_layers:
+    masks and prefilter row counts exactly; endpoint channels to an ulp
+    (FMA association differs between the two compilations — harmless,
+    candidates only seed windows and the exact replay decides)."""
+    from ohm_tsd_slam_tpu.ops.segment_layers_pallas import (
+        CHUNK as _CH,
+        segment_layers_pallas,
+        supports_segment_kernel,
+    )
+
+    grid, geom = _scene()
+    assert supports_segment_kernel(grid)
+    ref_mask, ref_chans = rf._segment_layers(grid)
+    got_mask, got_chans, got_cnt = segment_layers_pallas(
+        grid.tsd, grid.cell_size, interpret=True)
+
+    rm = np.asarray(ref_mask)
+    gm = np.asarray(got_mask) > 0
+    np.testing.assert_array_equal(rm, gm)
+    for rc, gc in zip(ref_chans, got_chans):
+        np.testing.assert_allclose(np.asarray(gc)[rm],
+                                   np.asarray(rc)[rm], atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(got_cnt), rm.reshape(-1, _CH).sum(1))
