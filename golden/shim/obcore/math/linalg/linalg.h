@@ -264,6 +264,99 @@ public:
   unsigned int getRows() const { return _rows; }
   unsigned int getCols() const { return _cols; }
 
+  /* PCA of the point rows — replicates gsl/Matrix.cpp:227-326
+   * (centroid, SVD of M^T M, per-axis extents/alignment, axes matrix
+   * [dim, 2*dim]) via the closed-form symmetric 2x2 eigendecomposition
+   * instead of gsl_linalg_SV_decomp_jacobi; eigenpairs sorted
+   * descending like the jacobi SVD, directions agree up to sign (the
+   * RANSAC callers normalize the sign, RandomMatching.cpp:123-135). */
+  Matrix* pcaAnalysis() const
+  {
+    assert(_cols == 2);
+    const unsigned int rows = _rows;
+    const unsigned int dim = 2;
+    Matrix* axes = new Matrix(dim, 2 * dim);
+
+    double cent[2] = {0.0, 0.0};
+    for(unsigned int i = 0; i < rows; i++)
+    {
+      cent[0] += (*this)(i, 0);
+      cent[1] += (*this)(i, 1);
+    }
+    cent[0] /= (double)rows;
+    cent[1] /= (double)rows;
+
+    /* MtM of the centered points */
+    double a = 0.0, b = 0.0, c = 0.0;
+    for(unsigned int i = 0; i < rows; i++)
+    {
+      const double x = (*this)(i, 0) - cent[0];
+      const double y = (*this)(i, 1) - cent[1];
+      a += x * x;
+      b += x * y;
+      c += y * y;
+    }
+
+    /* eigenpairs of [[a, b], [b, c]], descending */
+    const double tr = a + c;
+    const double det = a * c - b * b;
+    const double disc = std::sqrt(std::max(tr * tr / 4.0 - det, 0.0));
+    const double l0 = tr / 2.0 + disc;
+    const double l1 = tr / 2.0 - disc;
+    double V[2][2];            /* V[j][i] = component j of eigvec i */
+    if(std::fabs(b) > 1e-300)
+    {
+      double v0x = l0 - c, v0y = b;
+      double n0 = std::sqrt(v0x * v0x + v0y * v0y);
+      double v1x = l1 - c, v1y = b;
+      double n1 = std::sqrt(v1x * v1x + v1y * v1y);
+      V[0][0] = v0x / n0;
+      V[1][0] = v0y / n0;
+      V[0][1] = v1x / n1;
+      V[1][1] = v1y / n1;
+    }
+    else if(a >= c)
+    {
+      V[0][0] = 1.0; V[1][0] = 0.0;
+      V[0][1] = 0.0; V[1][1] = 1.0;
+    }
+    else
+    {
+      V[0][0] = 0.0; V[1][0] = 1.0;
+      V[0][1] = 1.0; V[1][1] = 0.0;
+    }
+
+    /* per-axis extents in eigen coordinates + centroid alignment
+     * (first loop adjusts cent for ALL axes, then axes are emitted) */
+    double ext[2], align[2];
+    for(unsigned int i = 0; i < dim; i++)
+    {
+      double mx = -1e300, mn = 1e300;
+      for(unsigned int r = 0; r < rows; r++)
+      {
+        const double x = (*this)(r, 0) - cent[0];
+        const double y = (*this)(r, 1) - cent[1];
+        const double p = V[0][i] * x + V[1][i] * y;
+        if(p > mx) mx = p;
+        if(p < mn) mn = p;
+      }
+      ext[i] = mx - mn;
+      align[i] = (ext[i] > 1e-6) ? (mx + mn) / 2.0 : 0.0;
+    }
+    for(unsigned int i = 0; i < dim; i++)
+      for(unsigned int j = 0; j < dim; j++)
+        cent[j] += V[j][i] * align[i];
+
+    for(unsigned int i = 0; i < dim; i++)
+      for(unsigned int j = 0; j < dim; j++)
+      {
+        const double e = V[j][i] * ext[i] / 2.0;
+        (*axes)(i, 2 * j) = cent[j] - e;
+        (*axes)(i, 2 * j + 1) = cent[j] + e;
+      }
+    return axes;
+  }
+
   void print() const
   {
     for(unsigned int r = 0; r < _rows; r++)

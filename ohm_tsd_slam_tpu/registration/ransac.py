@@ -209,6 +209,24 @@ class RansacParams:
         )
 
 
+class RansacInject(NamedTuple):
+    """Deterministic draw injection for golden parity tests.
+
+    The reference matchers consume libc rand() for the scene subsample,
+    the control-set pick and the trial draws
+    (RandomMatching.cpp:52-183, RandomNormalMatching.cpp:221-238); the
+    golden harness intercepts rand with a replayable LCG
+    (golden/shim/detrand.h) and tests/golden_io.py replays the identical
+    sequence to produce these fields, so the JAX matchers score the
+    SAME candidate set as the compiled reference."""
+
+    sub_mask: Optional[jnp.ndarray] = None     # [N] post-subsample mask
+    ctrl_idx: Optional[jnp.ndarray] = None     # [C] control indices
+    ctrl_valid: Optional[jnp.ndarray] = None   # [C]
+    trial_idx: Optional[jnp.ndarray] = None    # [T] model trial indices
+    trial_valid: Optional[jnp.ndarray] = None  # [T]
+
+
 class _Prep(NamedTuple):
     """Shared trial/candidate preprocessing for all three matchers."""
 
@@ -227,7 +245,7 @@ class _Prep(NamedTuple):
 
 def _prepare(key: jax.Array, model: jnp.ndarray, mask_m: jnp.ndarray,
              scene: jnp.ndarray, mask_s: jnp.ndarray,
-             p: RansacParams) -> _Prep:
+             p: RansacParams, inject: RansacInject = None) -> _Prep:
     """Everything before the trial loop, shared verbatim by
     RandomNormalMatching.cpp:96-206 / PDFMatching.cpp:67-175 /
     TSD_PDFMatching.cpp:60-170."""
@@ -242,14 +260,21 @@ def _prepare(key: jax.Array, model: jnp.ndarray, mask_m: jnp.ndarray,
     # passes maskIn=maskS (pre-subsample) to calcNormals while maskOut
     # starts from the subsampled copy (RandomNormalMatching.cpp:131-137):
     # normals use full-mask windows, validity intersects the subsample.
-    mask_s_sub = subsample_mask(k_sub, mask_s)
+    if inject is not None and inject.sub_mask is not None:
+        mask_s_sub = inject.sub_mask
+    else:
+        mask_s_sub = subsample_mask(k_sub, mask_s)
     ns_full, mask_sp_full = pca_normals(scene, mask_s, r)
     mask_sp = mask_sp_full & mask_s_sub
     phi_s = calc_phi(ns_full, mask_sp)
 
     # control set: random valid scene indices (uses the *subsampled* PCA
     # mask, RandomNormalMatching.cpp:141-152)
-    c_idx, c_mask = random_valid_subset(k_ctrl, mask_sp, p.size_control_set)
+    if inject is not None and inject.ctrl_idx is not None:
+        c_idx, c_mask = inject.ctrl_idx, inject.ctrl_valid
+    else:
+        c_idx, c_mask = random_valid_subset(k_ctrl, mask_sp,
+                                            p.size_control_set)
     ctrl = scene[c_idx]
     ctrl_n = ns_full[c_idx]
     ctrl_phi = calc_phi(ctrl_n, None)      # calcPhi(NControl, NULL, ...)
@@ -264,7 +289,10 @@ def _prepare(key: jax.Array, model: jnp.ndarray, mask_m: jnp.ndarray,
     ok = (jnp.sum(mask_mp) >= 3) & (jnp.sum(mask_sp) >= 3)
 
     # trials: random valid model indices without replacement
-    t_idx, t_valid = random_valid_subset(k_trial, mask_mp, p.trials)
+    if inject is not None and inject.trial_idx is not None:
+        t_idx, t_valid = inject.trial_idx, inject.trial_valid
+    else:
+        t_idx, t_valid = random_valid_subset(k_trial, mask_mp, p.trials)
 
     # candidates: every scene beam within ±span of the trial beam
     span = p.span
@@ -374,7 +402,8 @@ def _lex_best(keys, phis, ts, ok) -> jnp.ndarray:
 
 def match_normal(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
                  scene: jnp.ndarray, mask_scene: jnp.ndarray,
-                 params: RansacParams) -> jnp.ndarray:
+                 params: RansacParams, inject: RansacInject = None,
+                 return_scores: bool = False):
     """RandomNormalMatching::match (RandomNormalMatching.cpp:67-395).
 
     Per candidate: transform the control set, clip to the model frustum,
@@ -383,7 +412,8 @@ def match_normal(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
     (1−cos Δφ)/2·0.33; count err<1 matches; gate cntMatch > |C|/3;
     winner by (ratio, cnt, −errSum) (:298-360).
     """
-    prep = _prepare(key, model, mask_model, scene, mask_scene, params)
+    prep = _prepare(key, model, mask_model, scene, mask_scene, params,
+                    inject)
     dtype = scene.dtype
     mvalid = prep.mask_m
     model_masked_sq = jnp.sum(model * model, axis=1) + jnp.where(
@@ -427,14 +457,20 @@ def match_normal(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
         ratio = cnt.astype(dtype) / jnp.maximum(max_cnt, 1).astype(dtype)
         good = valid & (cnt > cnt_thresh) & (max_cnt > 0)
         ratio = jnp.where(good, ratio, -_BIG)
-        return ratio, cnt, err_sum
+        return ratio, cnt, err_sum, max_cnt
 
-    ratio, cnt, err_sum = _chunked_scores(prep, params, score_chunk)
+    ratio, cnt, err_sum, max_cnt = _chunked_scores(prep, params,
+                                                   score_chunk)
     # quantize ratio by the reference's equalThres=1e-5 so the
     # similarity tie-break (equal ratio -> lower errSum) applies
     ratio_q = jnp.round(ratio * 1e5)
-    return _lex_best((ratio_q, cnt.astype(ratio.dtype), -err_sum),
-                     prep.phi_cand, prep.t_cand, prep.ok)
+    T = _lex_best((ratio_q, cnt.astype(ratio.dtype), -err_sum),
+                  prep.phi_cand, prep.t_cand, prep.ok)
+    if return_scores:
+        return T, dict(prep=prep, ratio=ratio, cnt=cnt,
+                       err_sum=err_sum, max_cnt=max_cnt,
+                       cnt_thresh=cnt_thresh)
+    return T
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +501,8 @@ def beam_model_log_prob(m: jnp.ndarray, s: jnp.ndarray,
 
 def match_pdf(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
               scene: jnp.ndarray, mask_scene: jnp.ndarray,
-              params: RansacParams, bm: BeamModelConfig) -> jnp.ndarray:
+              params: RansacParams, bm: BeamModelConfig,
+              inject: RansacInject = None, return_scores: bool = False):
     """PDFMatching::match, MATCH_SCENE_ON_MODEL branch
     (PDFMatching.cpp:47-430): per candidate, each transformed control
     point finds the model point of nearest polar angle; per-point
@@ -473,7 +510,8 @@ def match_pdf(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
     gate: fieldOfViewCount (angle diff < maxAngleDiff) must exceed
     |C|·percentagePointsInC; winner = highest probability.
     """
-    prep = _prepare(key, model, mask_model, scene, mask_scene, params)
+    prep = _prepare(key, model, mask_model, scene, mask_scene, params,
+                    inject)
     angle_thresh = math.radians(bm.max_angle_diff_deg)
 
     m_angle = jnp.arctan2(model[:, 1], model[:, 0])
@@ -498,10 +536,14 @@ def match_pdf(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
         logp_sum = jnp.sum(jnp.where(prep.ctrl_mask[None, :], logp, 0.0),
                            axis=1)
         good = valid & (fov_cnt.astype(logp_sum.dtype) > c_gate)
-        return (jnp.where(good, logp_sum, -_BIG),)
+        return jnp.where(good, logp_sum, -_BIG), logp_sum, fov_cnt
 
-    (logp,) = _chunked_scores(prep, params, score_chunk)
-    return _lex_best((logp,), prep.phi_cand, prep.t_cand, prep.ok)
+    logp, logp_raw, fov_cnt = _chunked_scores(prep, params, score_chunk)
+    T = _lex_best((logp,), prep.phi_cand, prep.t_cand, prep.ok)
+    if return_scores:
+        return T, dict(prep=prep, logp=logp, logp_raw=logp_raw,
+                       fov_cnt=fov_cnt, c_gate=c_gate)
+    return T
 
 
 # ---------------------------------------------------------------------------
@@ -511,14 +553,16 @@ def match_pdf(key: jax.Array, model: jnp.ndarray, mask_model: jnp.ndarray,
 def match_tsd(key: jax.Array, grid: TsdGrid, sensor_pose: jnp.ndarray,
               model: jnp.ndarray, mask_model: jnp.ndarray,
               scene: jnp.ndarray, mask_scene: jnp.ndarray,
-              params: RansacParams) -> jnp.ndarray:
+              params: RansacParams, inject: RansacInject = None,
+              return_scores: bool = False):
     """TSD_PDFMatching::match (TSD_PDFMatching.cpp:30-283): candidates
     are scored directly against the map — transform the control set into
     the map frame (TMap = TSensor·T), read the TSD field bilinearly, and
     multiply per-point likelihoods (1 − (1−zrand)·|tsd|), zrand on
     interpolation misses (:223-251).  Winner = highest probability.
     """
-    prep = _prepare(key, model, mask_model, scene, mask_scene, params)
+    prep = _prepare(key, model, mask_model, scene, mask_scene, params,
+                    inject)
     zrand = params.zrand_tsd
     log_zrand = math.log(zrand)
 
@@ -533,7 +577,10 @@ def match_tsd(key: jax.Array, grid: TsdGrid, sensor_pose: jnp.ndarray,
             log_zrand)
         logp_sum = jnp.sum(jnp.where(prep.ctrl_mask[None, :], logp, 0.0),
                            axis=1)
-        return (jnp.where(valid, logp_sum, -_BIG),)
+        return jnp.where(valid, logp_sum, -_BIG), logp_sum
 
-    (logp,) = _chunked_scores(prep, params, score_chunk)
-    return _lex_best((logp,), prep.phi_cand, prep.t_cand, prep.ok)
+    logp, logp_raw = _chunked_scores(prep, params, score_chunk)
+    T = _lex_best((logp,), prep.phi_cand, prep.t_cand, prep.ok)
+    if return_scores:
+        return T, dict(prep=prep, logp=logp, logp_raw=logp_raw)
+    return T

@@ -94,3 +94,76 @@ class Scenario:
             self.query_poses.append(
                 np.array([float(x) for x in tok[i:i + 9]]).reshape(3, 3))
             i += 9
+
+
+# ---------------------------------------------------------------------------
+# RANSAC parity helpers (golden/ransac_harness + golden/shim/detrand.h)
+# ---------------------------------------------------------------------------
+
+RANSAC_DIR = os.path.join(GOLDEN_DIR, "data", "ransac")
+
+
+class DetRand:
+    """Replays golden/shim/detrand.h's 31-bit LCG exactly."""
+
+    def __init__(self, seed: int):
+        self.s = seed & 0xFFFFFFFF
+
+    def rand(self) -> int:
+        self.s = (self.s * 1103515245 + 12345) & 0xFFFFFFFF
+        return self.s & 0x7FFFFFFF
+
+
+def replay_subsample(seed: int, mask_s: np.ndarray):
+    """Phase 1 of the reference matchers' rand() stream: subsampleMask
+    over the raw scene mask (one draw per point regardless of validity,
+    RandomMatching.cpp:171-183, gated by probability < 0.99).  Returns
+    (post-subsample mask, DetRand carrying the stream state)."""
+    n = mask_s.shape[0]
+    dr = DetRand(seed)
+    valid_points = int(mask_s.sum())
+    prob = 180.0 / max(valid_points, 1)
+    sub = np.array(mask_s, bool).copy()
+    if prob < 0.99:
+        thresh = int(1000.0 - prob * 1000.0 + 0.5)
+        for i in range(n):
+            if dr.rand() % 1000 < thresh:
+                sub[i] = False
+    return sub, dr
+
+
+def replay_picks(dr: "DetRand", idx_s_valid, idx_m_valid,
+                 trials: int, size_control: int):
+    """Phase 2: pickControlSet over the post-PCA scene indices
+    (RandomMatching.cpp:52-75), the intercepted no-op srand, then one
+    erase-without-replacement draw per trial over the post-PCA model
+    indices (RandomNormalMatching.cpp:221-238).  Returns
+    (ctrl_idx list, trial_idx list)."""
+    c = min(size_control, len(idx_s_valid))
+    tmp = list(idx_s_valid)
+    ctrl = []
+    for _ in range(c):
+        r = dr.rand() % len(tmp)
+        ctrl.append(tmp.pop(r))
+
+    # srand(time(NULL)) in the reference is det_srand = no-op
+
+    t = min(trials, len(idx_m_valid))
+    tmp = list(idx_m_valid)
+    tidx = []
+    for _ in range(t):
+        r = dr.rand() % len(tmp)
+        tidx.append(tmp.pop(r))
+    return ctrl, tidx
+
+
+def load_score3d(path: str) -> np.ndarray:
+    """score3D.dat rows: trial idxM idxS score (Trace.cpp:289-300)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) == 4:
+                rows.append((int(p[0]), int(p[1]), int(p[2]),
+                             float(p[3])))
+    return np.array(rows, dtype=np.float64)
