@@ -241,6 +241,7 @@ class _Prep(NamedTuple):
     theta_min: jnp.ndarray     # model frustum bounds
     theta_max: jnp.ndarray
     ok: jnp.ndarray            # >=3 valid in both clouds
+    t_idx: jnp.ndarray         # [T] drawn trial model indices
 
 
 def _prepare(key: jax.Array, model: jnp.ndarray, mask_m: jnp.ndarray,
@@ -323,7 +324,7 @@ def _prepare(key: jax.Array, model: jnp.ndarray, mask_m: jnp.ndarray,
         cand_valid=cand_valid.reshape(-1),
         ctrl=ctrl, ctrl_mask=c_mask, ctrl_phi=ctrl_phi,
         phi_m=phi_m, mask_m=mask_mp,
-        theta_min=theta_min, theta_max=theta_max, ok=ok)
+        theta_min=theta_min, theta_max=theta_max, ok=ok, t_idx=t_idx)
 
 
 def _reduce_min_payload(primary, payloads, axis):

@@ -294,3 +294,94 @@ def test_trace_records_pair_assignments(tmp_path):
     first = np.loadtxt(os.path.join(out, sorted(pair_files)[0]),
                        ndmin=2)
     assert first.shape[1] == 2 and first.shape[0] > 50
+
+
+def test_ransac_trace_layout_matches_reference():
+    """utils/trace.py's RANSAC layout vs the compiled reference's Trace
+    serialization (golden/data/ransac/exp, Trace.cpp:144-390): same
+    file-name set for the traced candidates, same score3D.dat rows."""
+    import math
+    import os
+
+    import jax
+    import numpy as np
+
+    from tests.golden_io import (
+        RANSAC_DIR,
+        load_score3d,
+        replay_picks,
+        replay_subsample,
+    )
+
+    if not os.path.exists(os.path.join(RANSAC_DIR, "tbest.bin")):
+        import pytest
+
+        pytest.skip("golden ransac data missing")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from ohm_tsd_slam_tpu.registration.ransac import (
+        RansacInject,
+        RansacParams,
+        match_normal,
+        pca_normals,
+    )
+    from ohm_tsd_slam_tpu.utils.trace import Trace, record_ransac_trace
+
+    z = np.load(os.path.join(RANSAC_DIR, "inputs.npz"))
+    M = jnp.asarray(z["M"])
+    S = jnp.asarray(z["S"])
+    maskM = jnp.asarray(z["maskM"])
+    maskS = jnp.asarray(z["maskS"])
+    N = M.shape[0]
+    params = RansacParams(
+        trials=int(z["trials"]), eps_thresh=float(z["eps_thresh"]),
+        size_control_set=int(z["size_control"]),
+        phi_max=float(z["phi_max"]), resolution=float(z["resolution"]))
+    r = params.pca_search_range // 2
+    _, mask_mp = pca_normals(M, maskM, r)
+    sub, dr = replay_subsample(int(z["seed"]), np.asarray(maskS))
+    _, mask_sp_full = pca_normals(S, maskS, r)
+    mask_sp = np.asarray(mask_sp_full) & sub
+    idx_s = [i for i in range(r, N - r) if mask_sp[i]]
+    idx_m = [i for i in range(r, N - r) if np.asarray(mask_mp)[i]]
+    ctrl, tidx = replay_picks(dr, idx_s, idx_m, params.trials,
+                              params.size_control_set)
+    C, T = params.size_control_set, params.trials
+    inject = RansacInject(
+        sub_mask=jnp.asarray(sub),
+        ctrl_idx=jnp.asarray(np.pad(ctrl, (0, C - len(ctrl)))).astype(jnp.int32),
+        ctrl_valid=jnp.asarray(np.arange(C) < len(ctrl)),
+        trial_idx=jnp.asarray(np.pad(tidx, (0, T - len(tidx)))).astype(jnp.int32),
+        trial_valid=jnp.asarray(np.arange(T) < len(tidx)))
+
+    _, aux = match_normal(jax.random.PRNGKey(0), M, maskM, S, maskS,
+                          params, inject=inject, return_scores=True)
+    keep = (np.asarray(aux["prep"].cand_valid)
+            & (np.asarray(aux["cnt"]) > int(aux["cnt_thresh"])))
+    tr = Trace()
+    record_ransac_trace(tr, M, maskM, S, maskS, aux, params, keep,
+                        np.asarray(aux["err_sum"]))
+    out = os.path.join("/tmp", "jax_ransac_trace")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    tr.serialize(out)
+
+    ref_dir = os.path.join(RANSAC_DIR, "exp")
+    ref_files = {f for f in os.listdir(ref_dir)
+                 if f.startswith(("scene_", "pairs_", "score_"))}
+    got_files = {f for f in os.listdir(out)
+                 if f.startswith(("scene_", "pairs_", "score_"))}
+    assert got_files == ref_files
+    for base in ("model.dat", "scene.dat", "score3D.dat",
+                 "score3D.gpi", "trace.gpi"):
+        assert os.path.exists(os.path.join(out, base)), base
+
+    ref_rows = load_score3d(os.path.join(ref_dir, "score3D.dat"))
+    got_rows = load_score3d(os.path.join(out, "score3D.dat"))
+    ref_sorted = ref_rows[np.lexsort(ref_rows[:, 2::-1].T)]
+    got_sorted = got_rows[np.lexsort(got_rows[:, 2::-1].T)]
+    np.testing.assert_array_equal(ref_sorted[:, :3], got_sorted[:, :3])
+    np.testing.assert_allclose(got_sorted[:, 3], ref_sorted[:, 3],
+                               rtol=1e-6, atol=1e-9)
