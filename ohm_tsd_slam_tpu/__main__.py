@@ -163,6 +163,91 @@ def cmd_ros(args) -> int:
     return ros_bridge.main(config=args.config)
 
 
+# launch-profile table: the reference's launch files select a config
+# YAML and spawn static laser->footprint / footprint->odom transform
+# publishers so sendTransform's tf lookups succeed
+# (launch/slam.launch.py:13-49 resp. launch/multi_slam.launch.py:1-33)
+_PROFILES = {
+    "single": ("single-laser.yaml",
+               dict(laser_footprint=(0.3, 0.0, 1.570796327),
+                    footprint_odom=(1.0, 2.0, 1.0))),
+    "multi": ("double-laser.yaml", dict()),
+}
+
+
+def cmd_launch(args) -> int:
+    """Run a reference launch profile: resolve its config YAML, apply
+    the launch file's static transforms, and run the multi-robot node
+    over one scan log per robot (simulated when not supplied) — the
+    CLI analogue of `ros2 launch ohm_tsd_slam (multi_)slam.launch.py`
+    without a ROS graph.  With --ros the ROS 2 bridge is started on the
+    profile's config instead."""
+    from ohm_tsd_slam_tpu.slam.messages import LaserScan
+    from ohm_tsd_slam_tpu.slam.node import SlamNode
+
+    cfg_name, tfs = _PROFILES[args.profile]
+    cfg_path = args.config or os.path.join(
+        os.path.dirname(__file__), "..", "configs", cfg_name)
+    if args.ros:
+        from ohm_tsd_slam_tpu import ros_bridge
+
+        return ros_bridge.main(config=cfg_path)
+
+    cfg = _load_config(cfg_path)
+    n_robots = len(cfg.robots)
+    scans = list(args.scans or [])
+    os.makedirs(args.out, exist_ok=True)
+    while len(scans) < n_robots:
+        # simulate a log per missing robot (offset start angles so the
+        # robots traverse different arcs of the room)
+        path = os.path.join(args.out, f"scans_r{len(scans)}.npz")
+        ns = argparse.Namespace(out=path, config=cfg_path,
+                                steps=args.steps, beams=args.beams,
+                                rate=10.0)
+        cmd_simulate(ns)
+        scans.append(path)
+
+    node = SlamNode(cfg, seed=args.seed)
+    for r in range(n_robots):
+        if "laser_footprint" in tfs:
+            node.set_static_tf(r, *tfs["laser_footprint"])
+        if "footprint_odom" in tfs:
+            node.on_footprint_odom(r, *tfs["footprint_odom"])
+
+    logs = [np.load(p) for p in scans[:n_robots]]
+    n_scans = min(len(l["ranges"]) for l in logs)
+    rows = {r: [] for r in range(n_robots)}
+    for k in range(n_scans):
+        for r, log in enumerate(logs):
+            msg = LaserScan(ranges=log["ranges"][k],
+                            angle_min=float(log["angle_min"]),
+                            angle_increment=float(log["angle_increment"]),
+                            range_max=float(log["range_max"]),
+                            stamp=float(log["stamps"][k]))
+            out = node.process_scan(r, msg)
+            if out is not None:
+                rows[r].append((float(log["stamps"][k]), out.x, out.y,
+                                out.theta))
+
+    for r in range(n_robots):
+        with open(os.path.join(args.out, f"trajectory_r{r}.csv"),
+                  "w") as f:
+            f.write("stamp,x,y,theta\n")
+            for row in rows[r]:
+                f.write("%.6f,%.6f,%.6f,%.6f\n" % row)
+    from ohm_tsd_slam_tpu import native
+
+    occ_msg, img = node.publish_map()
+    occ = np.asarray(occ_msg.data)
+    pgm = np.where(occ == 100, 0,
+                   np.where(occ == 0, 254, 205)).astype(np.uint8)
+    native.serialize_pgm(os.path.join(args.out, "map.pgm"), pgm,
+                         pgm.shape[1], pgm.shape[0])
+    print(f"launch[{args.profile}]: {n_robots} robot(s) x {n_scans} "
+          f"scans -> {args.out}/")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="python -m ohm_tsd_slam_tpu",
                                  description=__doc__)
@@ -188,6 +273,22 @@ def main(argv=None) -> int:
     rb = sub.add_parser("ros", help="run the ROS 2 bridge node")
     rb.add_argument("--config", default=None)
     rb.set_defaults(fn=cmd_ros)
+
+    lc = sub.add_parser(
+        "launch",
+        help="run a reference launch profile (slam/multi_slam.launch.py)")
+    lc.add_argument("profile", choices=sorted(_PROFILES))
+    lc.add_argument("--scans", nargs="*", default=None,
+                    help="one scan log per robot (simulated when absent)")
+    lc.add_argument("--config", default=None,
+                    help="override the profile's YAML")
+    lc.add_argument("--out", default="out")
+    lc.add_argument("--steps", type=int, default=40)
+    lc.add_argument("--beams", type=int, default=541)
+    lc.add_argument("--seed", type=int, default=0)
+    lc.add_argument("--ros", action="store_true",
+                    help="start the ROS 2 bridge on the profile config")
+    lc.set_defaults(fn=cmd_launch)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -194,3 +194,52 @@ def rotate_rpy(cloud: PointCloud, roll, pitch, yaw) -> PointCloud:
                    cloud.points.dtype)
     R = Rz @ Ry @ Rx
     return dataclasses.replace(cloud, points=cloud.points @ R.T)
+
+
+# ---------------------------------------------------------------------------
+# CartesianCloudFactory codecs (src/obcore/base/CartesianCloudFactory.cpp)
+# ---------------------------------------------------------------------------
+
+def save_cloud_ascii(path: str, cloud: CartesianCloud) -> None:
+    """CartesianCloudFactory::serialize(eFormatAscii)
+    (CartesianCloudFactory.cpp:36-52): one "x y z [r g b]" line per
+    point; colors only when present.  (Replicated quirk: the reference
+    writes colors[0..2] — the FIRST point's color — for every row; here
+    each point's own color is written, which is the evident intent.)"""
+    import numpy as np
+
+    coords = np.asarray(cloud.coords, np.float64)
+    colors = (np.asarray(cloud.colors) if cloud.colors is not None
+              else None)
+    with open(path, "w") as f:
+        for i in range(coords.shape[0]):
+            f.write(f"{coords[i, 0]:g} {coords[i, 1]:g} "
+                    f"{coords[i, 2]:g}")
+            if colors is not None:
+                f.write(f" {int(colors[i, 0])} {int(colors[i, 1])}"
+                        f" {int(colors[i, 2])}")
+            f.write("\n")
+
+
+def load_cloud_ascii(path: str, dtype=None) -> CartesianCloud:
+    """CartesianCloudFactory::load(eFormatAscii)
+    (CartesianCloudFactory.cpp:55-92): "x y z r g b" rows; a point is
+    valid (ePointAttrValid) iff z > 0."""
+    import numpy as np
+
+    if dtype is None:
+        dtype = jnp.float32
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 6:
+                rows.append([float(v) for v in parts[:6]])
+    if rows:
+        arr = np.asarray(rows, np.float64)
+    else:
+        arr = np.zeros((0, 6), np.float64)
+    coords = jnp.asarray(arr[:, :3], dtype)
+    colors = jnp.asarray(arr[:, 3:6].astype(np.uint8))
+    mask = jnp.asarray(arr[:, 2] > 0.0)
+    return CartesianCloud(coords=coords, mask=mask, colors=colors)

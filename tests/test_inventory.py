@@ -221,3 +221,32 @@ class TestConfigProfiles:
         assert cfg.grid.map_size == 9
         assert cfg.grid.cellsize == 0.05
         assert cfg.robots[0].registration.icp.iterations == 25
+
+
+def test_cartesian_cloud_factory_codecs(tmp_path):
+    """CartesianCloudFactory ascii load/save round-trip
+    (CartesianCloudFactory.cpp:36-92), including the z>0 validity rule."""
+    import numpy as np
+
+    from ohm_tsd_slam_tpu.core.cloud import (
+        CartesianCloud,
+        load_cloud_ascii,
+        save_cloud_ascii,
+    )
+
+    coords = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, -1.0],
+                          [0.5, 0.25, 2.0]])
+    colors = jnp.asarray(np.array([[10, 20, 30], [40, 50, 60],
+                                   [70, 80, 90]], np.uint8))
+    cloud = CartesianCloud(coords=coords,
+                           mask=jnp.ones(3, bool), colors=colors)
+    path = str(tmp_path / "cloud.txt")
+    save_cloud_ascii(path, cloud)
+    back = load_cloud_ascii(path, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(back.coords),
+                               np.asarray(coords), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(back.colors),
+                                  np.asarray(colors))
+    # validity: z > 0 (ePointAttrValid, CartesianCloudFactory.cpp:85)
+    np.testing.assert_array_equal(np.asarray(back.mask),
+                                  [True, False, True])
