@@ -124,8 +124,9 @@ def _newton_refine(geom: SensorPolar2D, cell_size: float, tsd: jnp.ndarray,
     with a vanishing directional derivative keep their estimate.  Four
     iterations suffice: the start is already inside the crossing cell
     (sub-cell linear interpolation) and Newton converges quadratically
-    on the cellwise-quadratic field; each iteration costs a serial
-    4-tap gather pass, so fewer is measurably faster (VERDICT r3 #6).
+    on the cellwise-quadratic field (error squares each step from a
+    sub-cell bracket); each iteration costs a serial 4-tap gather
+    pass, so fewer is measurably faster (VERDICT r3 #6).
     """
     max_step = 0.5 * cell_size
 

@@ -153,16 +153,16 @@ def _kernel(geom: SensorPolar2D, cell_size: float, trunc: float,
 
         # beam-table lookup over the block's angular span (no gather):
         # acc starts NaN == "masked beam" (same encoding as grid/push.py).
-        # The loop is unrolled 8-wide — the un-unrolled version spent
+        # The loop is unrolled 16-wide — the un-unrolled version spent
         # ~6x its compare/select work on per-iteration loop overhead
         # (scalar bookkeeping dominates a 2-op [td, 128] body).
         nan = jnp.float32(jnp.nan)
         acc0 = jnp.full((td, BLOCK_W), nan, jnp.float32)
         nbeam = table_ref.shape[0]
 
-        def body8(j, acc):
-            b = lo + j * 8
-            for u in range(8):
+        def body16(j, acc):
+            b = lo + j * 16
+            for u in range(16):
                 bu = jnp.minimum(b + u, nbeam - 1)
                 # the (bu <= hi) guard keeps the unroll overshoot from
                 # matching cells the [lo, hi] loop never visited
@@ -170,7 +170,7 @@ def _kernel(geom: SensorPolar2D, cell_size: float, trunc: float,
                                 table_ref[bu], acc)
             return acc
 
-        d = jax.lax.fori_loop(0, (hi + 1 - lo + 7) // 8, body8, acc0)
+        d = jax.lax.fori_loop(0, (hi + 1 - lo + 15) // 16, body16, acc0)
 
         # per-cell tile meta (select over the block's tiles)
         tsel = cols // td
