@@ -90,24 +90,41 @@ def main():
     import dataclasses as _dc
 
     def chain(fn, n, *args, reps=5, compile_tag=None):
-        """Time an on-device fori_loop chain of fn; returns sec/iter."""
-        @jax.jit
-        def run(*a):
-            def body(i, carry):
-                return fn(i, carry, *a)
-            return jax.lax.fori_loop(0, n, body,
-                                     jnp.asarray(0.0, jnp.float32))
+        """Time an on-device fori_loop chain of fn; returns sec/iter.
+
+        Measured as the SLOPE between an n- and a 4n-iteration chain:
+        on this tunneled chip every executable invocation carries a
+        flat ~28 ms dispatch+fetch overhead (measured independent of
+        argument size, r4), which a single-length timing would smear
+        into the per-iteration number as +28/n ms — r1-r3 numbers
+        carried that bias.  The slope cancels it exactly.  The final
+        scalar is fetched to host (np.asarray) because
+        block_until_ready does not reliably block on the tunnel.
+        """
+        def make(m):
+            @jax.jit
+            def run(*a):
+                def body(i, carry):
+                    return fn(i, carry, *a)
+                return jax.lax.fori_loop(0, m, body,
+                                         jnp.asarray(0.0, jnp.float32))
+            return run
+
+        run_n, run_4n = make(n), make(4 * n)
         t0 = time.time()
-        run(*args).block_until_ready()
+        float(np.asarray(run_n(*args)))
+        float(np.asarray(run_4n(*args)))
         if compile_tag:
             log(f"{compile_tag} compile: {time.time()-t0:.2f}s")
-        times = []
+        t_n, t_4n = [], []
         for _ in range(reps):
             t0 = time.time()
-            out = run(*args)
-            jax.block_until_ready(out)
-            times.append(time.time() - t0)
-        return min(times) / n
+            float(np.asarray(run_n(*args)))
+            t_n.append(time.time() - t0)
+            t0 = time.time()
+            float(np.asarray(run_4n(*args)))
+            t_4n.append(time.time() - t0)
+        return max(min(t_4n) - min(t_n), 0.0) / (3 * n)
 
     # ---- segment extraction (once per MAP UPDATE) ----------------------
     seg = jax.jit(extract_segments)(grid)
@@ -404,8 +421,10 @@ def main():
     vpu_ops = nb * chunks * B_BLK * S_BLK * 15
     t_sweep_sol = vpu_ops / (8 * 128 * 0.94e9)    # VPU lanes @ 0.94 GHz
     log(f"sweep SOL from executed work ({nb} blocks x {chunks} chunks "
-        f"x {B_BLK}x{S_BLK} x ~15 ops): {t_sweep_sol*1e6:.0f} us "
-        f"-> sweep at {100*t_sweep_sol/t_sweep:.0f}% of VPU bound")
+        f"x {B_BLK}x{S_BLK} x ~15 ops): {t_sweep_sol*1e6:.0f} us; "
+        f"measured {t_sweep*1e6:.0f} us (the ~15-op body count is an "
+        f"upper bound; measured below it means the kernel is at the "
+        f"VPU roofline within slope noise)")
     extras["sweep_sol_us"] = round(t_sweep_sol * 1e6, 1)
     extras["sweep_sol_fraction"] = round(t_sweep_sol / t_sweep, 3)
     # The window kernel is bounded by per-block f32 one-hot matmuls:
@@ -427,7 +446,7 @@ def main():
     if supports_segment_kernel(grid):
         def ms_body(i, acc, grid_tsd):
             t = grid_tsd.at[0, 0].add(i.astype(jnp.float32) * 1e-30)
-            m, ch, cnt = segment_layers_pallas(t, cfg.cellsize)
+            m, cnt = segment_layers_pallas(t)
             return acc + jnp.sum(cnt).astype(jnp.float32) * 1e-30 \
                 + m[0] * 1e-30
 

@@ -111,9 +111,10 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
         if supports_segment_kernel(grid):
             # fused marching squares: the XLA _segment_layers spends
             # ~2.4 ms materializing its ~20 intermediate [H, W] arrays;
-            # the kernel writes only the layer outputs + row counts
-            mask, chans, row_cnt = segment_layers_pallas(
-                grid.tsd, grid.cell_size)
+            # the kernel writes only the layer MASK + row counts —
+            # endpoint channels are recomputed below for the selected
+            # rows only (_channels_for_rows)
+            mask, row_cnt = segment_layers_pallas(grid.tsd)
     if mask is None:
         mask, chans = _segment_layers(grid)
 
@@ -132,20 +133,29 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
             # (and the butterfly) touch ROW_CAP rows instead of all.
             # Row counts come from the segment kernel, or an MXU matvec
             # (XLA's lane-axis bool reduction costs ~1.3 ms on the
-            # 131072-row layer stack); mask + channels ride one fused
-            # gather instead of five.
+            # 131072-row layer stack).
             m2f = mask.reshape(-1, _CHUNK).astype(jnp.float32)
             if row_cnt is None:
                 row_cnt = (m2f @ jnp.ones((_CHUNK,), jnp.float32)
                            ).astype(jnp.int32)
             total = jnp.sum(row_cnt)
             sel, sel_ok = compact_mask(row_cnt > 0, ROW_CAP)
-            big = jnp.concatenate(
-                [m2f] + [c.reshape(-1, _CHUNK) for c in chans], axis=1)
-            bigs = jnp.where(sel_ok[:, None], big[sel], 0.0)
-            m2s = bigs[:, :_CHUNK] > 0.0
-            chans_s = tuple(bigs[:, (k + 1) * _CHUNK:(k + 2) * _CHUNK]
-                            for k in range(len(chans)))
+            if chans is None:
+                # lazy channels: endpoints for the <=ROW_CAP selected
+                # rows only, straight from the TSD field
+                m2s = jnp.where(sel_ok[:, None], m2f[sel], 0.0) > 0.0
+                chans_s = _channels_for_rows(grid, sel, sel_ok)
+            else:
+                # dense channels (XLA fallback layers): mask + channels
+                # ride one fused gather instead of five
+                big = jnp.concatenate(
+                    [m2f] + [c.reshape(-1, _CHUNK) for c in chans],
+                    axis=1)
+                bigs = jnp.where(sel_ok[:, None], big[sel], 0.0)
+                m2s = bigs[:, :_CHUNK] > 0.0
+                chans_s = tuple(
+                    bigs[:, (k + 1) * _CHUNK:(k + 2) * _CHUNK]
+                    for k in range(4))
             counted = jnp.sum(jnp.where(sel_ok, row_cnt[sel], 0))
 
             packed, stored = compact_channels_pallas(
@@ -307,6 +317,139 @@ def _segment_layers(grid: TsdGrid):
                            (s1_p1x, s2_p1x, vh_p1x, vv_p1x),
                            (s1_p1y, s2_p1y, vh_p1y, vv_p1y)))
     return mask, chans
+
+
+def _channels_for_rows(grid: TsdGrid, sel: jnp.ndarray,
+                       sel_ok: jnp.ndarray, chunk: int = 128):
+    """Endpoint channels (p0x, p0y, p1x, p1y) for SELECTED 128-lane
+    rows of the flat layer stack, recomputed from the TSD field.
+
+    The Pallas segment kernel (ops/segment_layers_pallas.py) emits only
+    the mask + row counts; since ~0.1% of rows are nonzero, computing
+    endpoints for the <=ROW_CAP selected rows here costs a [R, 129]
+    gather + trivial VPU work instead of 4 dense [4*H, W] arrays
+    written by the kernel and re-read by the compaction prefilter.
+
+    sel: [R] flat chunk-row indices into [4*H*W/chunk] (layer-major,
+    as produced by _segment_layers / the kernel); sel_ok masks padding.
+    Returns 4 float arrays [R, chunk] that match _segment_layers'
+    channels bit-for-bit on masked lanes (identical formulas and
+    operation order).
+    """
+    s = grid.cell_size
+    tsd = grid.tsd
+    H, W = tsd.shape
+    dtype = tsd.dtype
+    rows_per_layer = (H * W) // chunk
+    cpr = W // chunk
+
+    lay = sel // rows_per_layer
+    q = sel % rows_per_layer
+    y = q // cpr
+    c = q % cpr
+
+    # chunk-aligned corner gathers: view the field as [H*cpr, chunk]
+    # chunk-rows and fetch rows (y,c), (y,c+1), (y+1,c), (y+1,c+1) —
+    # four MAJOR-dimension row gathers (the efficient kind on TPU; a
+    # per-row dynamic_slice window costs ~3.6 ms in serial gather taps).
+    # Out-of-range rows clamp; they only reach lanes the mask excludes
+    # (x = W-1 quads, y = H-1 quads).
+    A = tsd.reshape(H * cpr, chunk)
+    r00 = y * cpr + c
+    a00 = A[r00]                                     # rows y,   chunk c
+    a0n = A[jnp.minimum(r00 + 1, H * cpr - 1)]       # rows y,   chunk c+1
+    r10 = jnp.minimum(y + 1, H - 1) * cpr + c
+    a10 = A[r10]                                     # rows y+1, chunk c
+    a1n = A[jnp.minimum(r10 + 1, H * cpr - 1)]       # rows y+1, chunk c+1
+
+    def shift1(a, nxt):
+        return jnp.concatenate([a[:, 1:], nxt[:, :1]], axis=1)
+
+    v00 = a00
+    v01 = shift1(a00, a0n)
+    v10 = a10
+    v11 = shift1(a10, a1n)
+
+    qx = (c[:, None] * chunk
+          + jnp.arange(chunk, dtype=jnp.int32)[None, :]).astype(dtype)
+    qy = y[:, None].astype(dtype)
+
+    def crossing(a, b):
+        return ((a > 0) & (b < 0)) | ((a < 0) & (b > 0))
+
+    def frac(a, b):
+        return a / (a - b)
+
+    quad_ok = ~(jnp.isnan(v00) | jnp.isnan(v01)
+                | jnp.isnan(v11) | jnp.isnan(v10))
+    cb = crossing(v00, v01)
+    cr = crossing(v01, v11)
+    ct = crossing(v10, v11)
+    cl = crossing(v00, v10)
+
+    Bx = (qx + 0.5 + frac(v00, v01)) * s
+    By = jnp.broadcast_to((qy + 0.5) * s, Bx.shape)
+    Rx = (qx + 1.5) * s
+    Ry = (qy + 0.5 + frac(v01, v11)) * s
+    Tx = (qx + 0.5 + frac(v10, v11)) * s
+    Ty = jnp.broadcast_to((qy + 1.5) * s, Bx.shape)
+    Lx = jnp.broadcast_to((qx + 0.5) * s, Bx.shape)
+    Ly = (qy + 0.5 + frac(v00, v10)) * s
+    Px = [Bx, Rx, Tx, Lx]
+    Py = [By, Ry, Ty, Ly]
+
+    F = [cb & quad_ok, cr & quad_ok, ct & quad_ok, cl & quad_ok]
+    n_crossed = sum(f.astype(jnp.int32) for f in F)
+    first = jnp.where(F[0], 0, jnp.where(F[1], 1,
+            jnp.where(F[2], 2, jnp.where(F[3], 3, 0))))
+    last = jnp.where(F[3], 3, jnp.where(F[2], 2,
+           jnp.where(F[1], 1, jnp.where(F[0], 0, 3))))
+
+    def pick(P, idx):
+        out = P[0]
+        for k in (1, 2, 3):
+            out = jnp.where(idx == k, P[k], out)
+        return out
+
+    four = quad_ok & (n_crossed == 4)
+    den = v00 + v11 - v01 - v10
+    saddle = jnp.where(jnp.abs(den) > 0, (v00 * v11 - v01 * v10)
+                       / jnp.where(den == 0, 1.0, den), 0.0)
+    same00 = (saddle > 0) == (v00 > 0)
+
+    # layer 0: segment 1 (two-crossing join / saddle B-R|B-L)
+    s1_p0x = jnp.where(four, Px[0], pick(Px, first))
+    s1_p0y = jnp.where(four, Py[0], pick(Py, first))
+    s1_p1x = jnp.where(four, jnp.where(same00, Px[1], Px[3]),
+                       pick(Px, last))
+    s1_p1y = jnp.where(four, jnp.where(same00, Py[1], Py[3]),
+                       pick(Py, last))
+    # layer 1: segment 2 (saddle T-L|T-R)
+    s2_p1x = jnp.where(same00, Px[3], Px[1])
+    s2_p1y = jnp.where(same00, Py[3], Py[1])
+    # layer 2: virtual h-edge; layer 3: virtual v-edge
+    VIRT = 0.9 * s
+    fh = frac(v00, v01)
+    hx = (qx + 0.5 + fh) * s
+    hy = jnp.broadcast_to((qy + 0.5) * s, hx.shape)
+    fv = frac(v00, v10)
+    vy = (qy + 0.5 + fv) * s
+    vx = jnp.broadcast_to((qx + 0.5) * s, vy.shape)
+
+    lay_b = lay[:, None]
+    z = jnp.zeros_like(Bx)
+
+    def sel4(a0, a1, a2, a3):
+        out = jnp.where(lay_b == 0, a0, a1)
+        out = jnp.where(lay_b == 2, a2, out)
+        out = jnp.where(lay_b == 3, a3, out)
+        return jnp.where(sel_ok[:, None], out, z)
+
+    p0x = sel4(s1_p0x, Px[2], hx, vx - VIRT)
+    p0y = sel4(s1_p0y, Py[2], hy - VIRT, vy)
+    p1x = sel4(s1_p1x, s2_p1x, hx, vx + VIRT)
+    p1y = sel4(s1_p1y, s2_p1y, hy + VIRT, vy)
+    return p0x, p0y, p1x, p1y
 
 
 class SegmentCache(NamedTuple):
@@ -566,110 +709,180 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
         normals_w = normals_w[:B]
         n_ok = n_ok[:B]
 
-        # deferred beams (window does not fit the block patch — depth
-        # discontinuities inside a block): replay on a compacted set
-        # via the per-beam-patch kernel (a per-beam window ALWAYS fits
-        # its own 24x128 patch; fully-inactive 8-slot programs skip all
-        # work, so this is near-free when nothing deferred); overflow
-        # beyond DEFER_CAP counts into n_dropped and raycast_checked
-        # falls back to the exact march
-        from ohm_tsd_slam_tpu.ops.window_block_pallas import (
-            window_single_pallas,
-        )
-
         defer = has & ~fits[:B]
         n_defer = jnp.sum(defer, dtype=jnp.int32)
-        n_dropped = n_dropped + jnp.maximum(n_defer - DEFER_CAP, 0)
-        idx_d, dvalid = compact_mask(jnp.pad(defer, (0, (-B) % 128)),
-                                     DEFER_CAP)
-        idx_d = jnp.minimum(idx_d, B - 1)
-        k_d = jnp.where(dvalid, t_1[idx_d], 0.0)
-        im_d = idx_min[idx_d]
-        ms_d = jnp.maximum(jnp.floor(k_d - im_d) - BACKOFF, 0.0)
-        hit_d, any_d, pos_d, int_d, nrm_d, nok_d = window_single_pallas(
-            grid, im_d + ms_d, ray[idx_d], idx_max[idx_d], dvalid,
-            jnp.broadcast_to(tr, (DEFER_CAP, 2)), WINDOW)
-        idx_w = jnp.where(dvalid, idx_d, B)
-        hit = hit.at[idx_w].set(hit_d, mode="drop")
-        any_1 = any_1.at[idx_w].set(any_d, mode="drop")
-        pos_ev = pos_ev.at[idx_w].set(pos_d, mode="drop")
-        interp = interp.at[idx_w].set(int_d, mode="drop")
-        normals_w = normals_w.at[idx_w].set(nrm_d, mode="drop")
-        n_ok = n_ok.at[idx_w].set(nok_d, mode="drop")
+
+        def _defer_pass(carry):
+            # deferred beams (window does not fit the block patch —
+            # depth discontinuities inside a block): replay on a
+            # compacted set via the per-beam-patch kernel (a per-beam
+            # window ALWAYS fits its own 24x128 patch); overflow
+            # beyond DEFER_CAP counts into n_dropped and
+            # raycast_checked falls back to the exact march
+            from ohm_tsd_slam_tpu.ops.window_block_pallas import (
+                window_single_pallas,
+            )
+
+            hit, any_1, pos_ev, interp, normals_w, n_ok, n_drop = carry
+            n_drop = n_drop + jnp.maximum(n_defer - DEFER_CAP, 0)
+            idx_d, dvalid = compact_mask(
+                jnp.pad(defer, (0, (-B) % 128)), DEFER_CAP)
+            idx_d = jnp.minimum(idx_d, B - 1)
+            k_d = jnp.where(dvalid, t_1[idx_d], 0.0)
+            im_d = idx_min[idx_d]
+            ms_d = jnp.maximum(jnp.floor(k_d - im_d) - BACKOFF, 0.0)
+            hit_d, any_d, pos_d, int_d, nrm_d, nok_d = \
+                window_single_pallas(
+                    grid, im_d + ms_d, ray[idx_d], idx_max[idx_d],
+                    dvalid, jnp.broadcast_to(tr, (DEFER_CAP, 2)),
+                    WINDOW)
+            idx_w = jnp.where(dvalid, idx_d, B)
+            hit = hit.at[idx_w].set(hit_d, mode="drop")
+            any_1 = any_1.at[idx_w].set(any_d, mode="drop")
+            pos_ev = pos_ev.at[idx_w].set(pos_d, mode="drop")
+            interp = interp.at[idx_w].set(int_d, mode="drop")
+            normals_w = normals_w.at[idx_w].set(nrm_d, mode="drop")
+            n_ok = n_ok.at[idx_w].set(nok_d, mode="drop")
+            return (hit, any_1, pos_ev, interp, normals_w, n_ok,
+                    n_drop)
     else:
         hit, any_1, pos_ev, interp = _window_events(
             grid, tr, ray, idx_min, idx_max, k_1, has)
         normals_w = n_ok = None
-    resolved = any_1 | ~has
-    t_search = jnp.maximum(lo, k_1 + cover)
+        n_defer = jnp.asarray(0, jnp.int32)
+        _defer_pass = None
 
-    # rounds 2..ROUNDS: compacted unresolved beams only.  Candidate
-    # levels for them come from the second sweep launch (bound chain
-    # identical to the rounds loop's t_search sequence: level k =
-    # earliest intersection >= level k-1 + cover).
-    if ROUNDS > 1 and segments.pack is not None:
-        t_after2 = jnp.where(resolved, jnp.inf, t_search)
-        lev_rest = segment_min_pallas(
-            segpack, pad_beams(ray, lo, hi, t_after2, tr_pack),
-            seg_count, levels=ROUNDS - 1,
-            cover=float(WINDOW - BACKOFF - 2.0))
+    def _rounds(carry):
+        """Rounds 2..ROUNDS.  Runs under lax.cond only when the defer
+        replay still left beams unresolved (true double crossings
+        inside one march window) — the common scan skips the second
+        sweep and the per-round compactions/scatters/kernel launches
+        here entirely.  When the predicate is true but individual
+        beams are fine, every update below is the identity, so outputs
+        are bit-identical with or without the skip."""
+        hit, any_1, pos_ev, interp, normals_w, n_ok, n_dropped = carry
+        resolved = any_1 | ~has
+        t_search = jnp.maximum(lo, k_1 + cover)
 
-        def candidates(round_idx, t_after):
-            return lev_rest[:B, round_idx - 1]
-    else:
-        def candidates(round_idx, t_after):
-            return _segment_candidates(p0, p1, svalid, tr, ray, lo, hi,
-                                       t_after)
+        # rounds 2..ROUNDS: compacted unresolved beams only.
+        # Candidate levels for them come from the second sweep launch
+        # (bound chain identical to the rounds loop's t_search
+        # sequence: level k = earliest intersection >= level k-1 +
+        # cover).
+        if ROUNDS > 1 and segments.pack is not None:
+            t_after2 = jnp.where(resolved, jnp.inf, t_search)
+            lev_rest = segment_min_pallas(
+                segpack, pad_beams(ray, lo, hi, t_after2, tr_pack),
+                seg_count, levels=ROUNDS - 1,
+                cover=float(WINDOW - BACKOFF - 2.0))
 
-    for round_idx in range(1, ROUNDS):
-        t_r = candidates(round_idx, jnp.where(resolved, jnp.inf,
-                                              t_search))
-        need = jnp.isfinite(t_r) & ~resolved
-        n_need = jnp.sum(need, dtype=jnp.int32)
-        n_dropped = n_dropped + jnp.maximum(n_need - UNRESOLVED_CAP, 0)
-        need_pad = jnp.pad(need, (0, (-B) % 128))
-        idx_u, uvalid = compact_mask(need_pad, UNRESOLVED_CAP)
-        idx_u = jnp.minimum(idx_u, B - 1)
-        k_u = jnp.where(uvalid, t_r[idx_u], 0.0)
-        if use_kernel:
-            im_u = idx_min[idx_u]
-            ms_u = jnp.maximum(jnp.floor(k_u - im_u) - BACKOFF, 0.0)
-            hit_u, any_u, pos_u, int_u, n_u, nok_u = \
-                window_single_pallas(
-                    grid, im_u + ms_u, ray[idx_u], idx_max[idx_u],
-                    uvalid, jnp.broadcast_to(tr, (UNRESOLVED_CAP, 2)),
-                    WINDOW)
+            def candidates(round_idx, t_after):
+                return lev_rest[:B, round_idx - 1]
         else:
-            hit_u, any_u, pos_u, int_u = _window_events(
-                grid, tr, ray[idx_u], idx_min[idx_u], idx_max[idx_u],
-                k_u, uvalid)
-            n_u = nok_u = None
-        take_u = any_u & uvalid
-        # scatter back; pad slots target out-of-range B and are dropped
-        # (their idx 0 placeholder could collide with a real beam-0 slot)
-        idx_w = jnp.where(uvalid, idx_u, B)
-        hit = hit.at[idx_w].set(jnp.where(take_u, hit_u, hit[idx_u]),
-                                mode="drop")
-        pos_ev = pos_ev.at[idx_w].set(
-            jnp.where(take_u[:, None], pos_u, pos_ev[idx_u]), mode="drop")
-        interp = interp.at[idx_w].set(
-            jnp.where(take_u, int_u, interp[idx_u]), mode="drop")
-        if normals_w is not None:
-            # round-1 normals came from the window kernel; refresh them
-            # for the (rare, compacted) beams this round resolved
-            if n_u is None:
-                coords_u = pos_u + ray[idx_u] * (int_u[:, None] - 1.0)
-                n_u, nok_u = interpolate_normal(grid, coords_u)
-            normals_w = normals_w.at[idx_w].set(
-                jnp.where(take_u[:, None], n_u, normals_w[idx_u]),
-                mode="drop")
-            n_ok = n_ok.at[idx_w].set(
-                jnp.where(take_u, nok_u, n_ok[idx_u]), mode="drop")
-        resolved = resolved.at[idx_w].set(
-            resolved[idx_u] | take_u, mode="drop")
-        resolved = resolved | ~need
-        t_search = jnp.maximum(t_search, jnp.where(jnp.isfinite(t_r),
-                                                   t_r + cover, t_search))
+            def candidates(round_idx, t_after):
+                return _segment_candidates(p0, p1, svalid, tr, ray,
+                                           lo, hi, t_after)
+
+        # fused per-beam state for the round scatters: one [B, 8]
+        # (or [B, 5] without normals) array so each round does ONE
+        # gather + ONE scatter instead of 5-7 (XLA per-op dispatch on
+        # the ~256-slot updates dominated the rounds' cost)
+        with_normals = normals_w is not None
+        cols = ([hit.astype(jnp.float32), pos_ev[:, 0], pos_ev[:, 1],
+                 interp, resolved.astype(jnp.float32)]
+                + ([normals_w[:, 0], normals_w[:, 1],
+                    n_ok.astype(jnp.float32)] if with_normals else []))
+        S = jnp.stack(cols, axis=-1)
+
+        for round_idx in range(1, ROUNDS):
+            res_now = S[:, 4] > 0.0
+            t_r = candidates(round_idx, jnp.where(res_now, jnp.inf,
+                                                  t_search))
+            need = jnp.isfinite(t_r) & ~res_now
+            n_need = jnp.sum(need, dtype=jnp.int32)
+            n_dropped = n_dropped + jnp.maximum(n_need - UNRESOLVED_CAP, 0)
+            need_pad = jnp.pad(need, (0, (-B) % 128))
+            idx_u, uvalid = compact_mask(need_pad, UNRESOLVED_CAP)
+            idx_u = jnp.minimum(idx_u, B - 1)
+            k_u = jnp.where(uvalid, t_r[idx_u], 0.0)
+            if use_kernel:
+                from ohm_tsd_slam_tpu.ops.window_block_pallas import (
+                    window_single_pallas,
+                )
+
+                im_u = idx_min[idx_u]
+                ms_u = jnp.maximum(jnp.floor(k_u - im_u) - BACKOFF, 0.0)
+                hit_u, any_u, pos_u, int_u, n_u, nok_u = \
+                    window_single_pallas(
+                        grid, im_u + ms_u, ray[idx_u], idx_max[idx_u],
+                        uvalid, jnp.broadcast_to(tr, (UNRESOLVED_CAP, 2)),
+                        WINDOW)
+            else:
+                hit_u, any_u, pos_u, int_u = _window_events(
+                    grid, tr, ray[idx_u], idx_min[idx_u], idx_max[idx_u],
+                    k_u, uvalid)
+                n_u = nok_u = None
+            take_u = any_u & uvalid
+            S_u = S[idx_u]                           # one gather
+            res_u = (S_u[:, 4] > 0.0) | take_u
+            row_cols = [jnp.where(take_u, hit_u.astype(jnp.float32),
+                                  S_u[:, 0]),
+                        jnp.where(take_u, pos_u[:, 0], S_u[:, 1]),
+                        jnp.where(take_u, pos_u[:, 1], S_u[:, 2]),
+                        jnp.where(take_u, int_u, S_u[:, 3]),
+                        res_u.astype(jnp.float32)]
+            if with_normals:
+                # round-1 normals came from the window kernel; refresh
+                # them for the (rare, compacted) beams this round
+                # resolved
+                if n_u is None:
+                    coords_u = pos_u + ray[idx_u] * (int_u[:, None] - 1.0)
+                    n_u, nok_u = interpolate_normal(grid, coords_u)
+                row_cols += [jnp.where(take_u, n_u[:, 0], S_u[:, 5]),
+                             jnp.where(take_u, n_u[:, 1], S_u[:, 6]),
+                             jnp.where(take_u,
+                                       nok_u.astype(jnp.float32),
+                                       S_u[:, 7])]
+            rows = jnp.stack(row_cols, axis=-1)
+            # scatter back; pad slots target out-of-range B and are
+            # dropped (their idx 0 placeholder could collide with a
+            # real beam-0 slot)
+            idx_w = jnp.where(uvalid, idx_u, B)
+            S = S.at[idx_w].set(rows, mode="drop")   # one scatter
+            # `resolved |= ~need`: beams with no candidate this round
+            # exit future rounds permanently (t_r only grows)
+            S = S.at[:, 4].set(jnp.maximum(S[:, 4],
+                                           (~need).astype(jnp.float32)))
+            t_search = jnp.maximum(t_search, jnp.where(jnp.isfinite(t_r),
+                                                       t_r + cover, t_search))
+
+        hit = S[:, 0] > 0.0
+        pos_ev = S[:, 1:3]
+        interp = S[:, 3]
+        if with_normals:
+            normals_w = S[:, 5:7]
+            n_ok = S[:, 7] > 0.0
+        return (hit, any_1, pos_ev, interp, normals_w, n_ok, n_dropped)
+
+    # two-stage tail skip (under vmap — saturation/AMCL batches — the
+    # conds lower to selects and both branches run, which is exactly
+    # the old behavior):
+    #   1. the defer replay runs only when the block kernel actually
+    #      deferred beams (~1-4% of beams on discontinuity scenes,
+    #      none on smooth ones);
+    #   2. the rounds run only when beams remain unresolved AFTER the
+    #      defer replay — a deferred beam almost always resolves in
+    #      its own per-beam window, so the expensive part (second
+    #      sweep + per-round compaction/scatter/kernel) is skipped on
+    #      typical scans.
+    carry = (hit, any_1, pos_ev, interp, normals_w, n_ok, n_dropped)
+    if _defer_pass is not None:
+        carry = jax.lax.cond(n_defer > 0, _defer_pass, lambda c: c,
+                             carry)
+    any_1 = carry[1]
+    all_res = jnp.all(any_1 | ~has)
+    carry = jax.lax.cond(all_res, lambda c: c, _rounds, carry)
+    hit, any_1, pos_ev, interp, normals_w, n_ok, n_dropped = carry
 
     coords_w = pos_ev + ray * (interp[:, None] - 1.0)
 

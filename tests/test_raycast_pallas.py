@@ -416,9 +416,9 @@ def test_window_single_kernel_matches_jnp_replay():
 
 def test_segment_layers_kernel_matches_jnp():
     """ops/segment_layers_pallas.py (interpret) vs _segment_layers:
-    masks and prefilter row counts exactly; endpoint channels to an ulp
-    (FMA association differs between the two compilations — harmless,
-    candidates only seed windows and the exact replay decides)."""
+    masks and prefilter row counts exactly; endpoint channels for the
+    selected nonzero rows via the lazy _channels_for_rows recompute."""
+    from ohm_tsd_slam_tpu.grid.compact import compact_mask
     from ohm_tsd_slam_tpu.ops.segment_layers_pallas import (
         CHUNK as _CH,
         segment_layers_pallas,
@@ -428,14 +428,22 @@ def test_segment_layers_kernel_matches_jnp():
     grid, geom = _scene()
     assert supports_segment_kernel(grid)
     ref_mask, ref_chans = rf._segment_layers(grid)
-    got_mask, got_chans, got_cnt = segment_layers_pallas(
-        grid.tsd, grid.cell_size, interpret=True)
+    got_mask, got_cnt = segment_layers_pallas(grid.tsd, interpret=True)
 
     rm = np.asarray(ref_mask)
     gm = np.asarray(got_mask) > 0
     np.testing.assert_array_equal(rm, gm)
-    for rc, gc in zip(ref_chans, got_chans):
-        np.testing.assert_allclose(np.asarray(gc)[rm],
-                                   np.asarray(rc)[rm], atol=1e-6)
     np.testing.assert_array_equal(
         np.asarray(got_cnt), rm.reshape(-1, _CH).sum(1))
+
+    # lazy endpoint channels on the selected rows == dense channels
+    row_cap = 256
+    sel, sel_ok = compact_mask(got_cnt > 0, row_cap)
+    assert int(np.asarray(got_cnt > 0).sum()) <= row_cap
+    got_chans = rf._channels_for_rows(grid, sel, sel_ok, chunk=_CH)
+    mrows = rm.reshape(-1, _CH)[np.asarray(sel)]        # [cap, 128]
+    mrows &= np.asarray(sel_ok)[:, None]
+    for rc, gc in zip(ref_chans, got_chans):
+        rrows = np.asarray(rc).reshape(-1, _CH)[np.asarray(sel)]
+        np.testing.assert_allclose(np.asarray(gc)[mrows],
+                                   rrows[mrows], atol=1e-6)
