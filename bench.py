@@ -270,6 +270,21 @@ def main():
         f"{B/t_rb:,.0f} rays/s (fwd+bwd)")
     extras["render_fwd_bwd_ms"] = round(t_rb * 1e3, 3)
 
+    # pose-gradient-only render against a FIXED grid (the scan-to-map
+    # GN / pose-graph use case): cached segments skip the per-call
+    # extraction
+    def render_pose_body(i, acc, seg):
+        d = (i.astype(jnp.float32) - 5.0) * 1e-4
+        p = pose @ se2.make(d, -d, d, dtype=pose.dtype)
+        dp = jax.grad(lambda pp: jnp.sum(render_ranges(
+            grid, geom, pp, segments=seg)[0]))(p)
+        return acc + jnp.sum(dp)
+
+    t_rp = chain(render_pose_body, 20, seg)
+    log(f"render fwd+bwd [pose-only, cached seg]: {t_rp*1e3:.2f} ms "
+        f"-> {B/t_rp:,.0f} rays/s (fwd+bwd)")
+    extras["render_pose_fwd_bwd_ms"] = round(t_rp * 1e3, 3)
+
     # ---- scan-match: full localize_step (cached segments) --------------
     params = LocalizeParams(
         geom=geom, icp=IcpParams(iterations=25, bounds=(0., gw, 0., gw)))

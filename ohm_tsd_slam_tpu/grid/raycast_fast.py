@@ -736,15 +736,23 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
                     grid, im_d + ms_d, ray[idx_d], idx_max[idx_d],
                     dvalid, jnp.broadcast_to(tr, (DEFER_CAP, 2)),
                     WINDOW)
+            # fused scatter: one [B, 8] state row per deferred beam
+            # instead of 6 separate updates (per-op dispatch dominates
+            # these ~128-slot scatters)
             idx_w = jnp.where(dvalid, idx_d, B)
-            hit = hit.at[idx_w].set(hit_d, mode="drop")
-            any_1 = any_1.at[idx_w].set(any_d, mode="drop")
-            pos_ev = pos_ev.at[idx_w].set(pos_d, mode="drop")
-            interp = interp.at[idx_w].set(int_d, mode="drop")
-            normals_w = normals_w.at[idx_w].set(nrm_d, mode="drop")
-            n_ok = n_ok.at[idx_w].set(nok_d, mode="drop")
-            return (hit, any_1, pos_ev, interp, normals_w, n_ok,
-                    n_drop)
+            S = jnp.stack([hit.astype(jnp.float32),
+                           any_1.astype(jnp.float32),
+                           pos_ev[:, 0], pos_ev[:, 1], interp,
+                           normals_w[:, 0], normals_w[:, 1],
+                           n_ok.astype(jnp.float32)], axis=-1)
+            rows = jnp.stack([hit_d.astype(jnp.float32),
+                              any_d.astype(jnp.float32),
+                              pos_d[:, 0], pos_d[:, 1], int_d,
+                              nrm_d[:, 0], nrm_d[:, 1],
+                              nok_d.astype(jnp.float32)], axis=-1)
+            S = S.at[idx_w].set(rows, mode="drop")
+            return (S[:, 0] > 0.0, S[:, 1] > 0.0, S[:, 2:4], S[:, 4],
+                    S[:, 5:7], S[:, 7] > 0.0, n_drop)
     else:
         hit, any_1, pos_ev, interp = _window_events(
             grid, tr, ray, idx_min, idx_max, k_1, has)

@@ -176,7 +176,8 @@ _ift_ranges.defvjp(_ift_fwd, _ift_bwd)
 
 
 def render_ranges(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
-                  use_fast: bool = True, refine: bool = True
+                  use_fast: bool = True, refine: bool = True,
+                  segments=None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, RaycastResult]:
     """Render the range image from `pose`, differentiably.
 
@@ -189,6 +190,12 @@ def render_ranges(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
         of the exact dense march.
       refine: polish crossings with guarded Newton to the exact bilinear
         root (see module docstring); turn off to bit-match the raycaster.
+      segments: optional SegmentCache of `grid` (use_fast only).  For
+        pose-only optimization against a FIXED grid (scan-to-map GN,
+        pose-graph refinement) this skips the per-call isocontour
+        extraction — the forward march then costs the cached-raycast
+        price.  Must be None (or re-extracted) whenever grid.tsd
+        carries gradients or has changed.
 
     Returns:
       (ranges, hit, result): ranges [B] in meters (0 where no hit, zero
@@ -197,8 +204,10 @@ def render_ranges(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
     """
     sg = jax.lax.stop_gradient
     grid_sg = jax.tree_util.tree_map(sg, grid)
-    caster = raycast_fast if use_fast else raycast
-    res = caster(grid_sg, geom, sg(pose))
+    if use_fast:
+        res = raycast_fast(grid_sg, geom, sg(pose), segments=segments)
+    else:
+        res = raycast(grid_sg, geom, sg(pose))
     r0 = sg(res.ranges.astype(grid.tsd.dtype))
     if refine:
         r0 = sg(_newton_refine(geom, float(grid.cell_size), sg(grid.tsd),

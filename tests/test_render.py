@@ -122,3 +122,27 @@ def test_forward_matches_raycast(scene):
     np.testing.assert_array_equal(np.array(hit), np.array(res.mask))
     np.testing.assert_allclose(np.array(ranges), np.array(res.ranges),
                                rtol=0, atol=0)
+
+
+def test_cached_segments_match_inline_extraction(scene):
+    """render_ranges(segments=...) (pose-only optimization against a
+    fixed grid) must produce the same forward values and pose
+    gradients as inline extraction."""
+    from ohm_tsd_slam_tpu.grid.raycast_fast import extract_segments
+
+    grid, geom = scene
+    pose = se2.make(5.2, 5.05, 0.15, dtype=jnp.float64)
+    seg = extract_segments(grid)
+
+    def loss(p, s):
+        return jnp.sum(render_ranges(grid, geom, p, segments=s)[0])
+
+    r_inline, h_inline, _ = render_ranges(grid, geom, pose)
+    r_cached, h_cached, _ = render_ranges(grid, geom, pose, segments=seg)
+    np.testing.assert_array_equal(np.array(h_inline), np.array(h_cached))
+    np.testing.assert_allclose(np.array(r_inline), np.array(r_cached),
+                               rtol=0, atol=0)
+    g_inline = jax.grad(loss)(pose, None)
+    g_cached = jax.grad(loss)(pose, seg)
+    np.testing.assert_allclose(np.array(g_inline), np.array(g_cached),
+                               rtol=0, atol=0)
