@@ -124,3 +124,25 @@ def test_compact_kernel_overflow_drops_and_counts():
     assert int(count) == total
     # stored slots limited to capacity (plus the slack column block)
     assert int((packed[4] > 0).sum()) <= K + 128
+
+
+def test_pack_channels_rows_matches_pallas_kernel():
+    """grid/compact.py::pack_channels_rows (the production TPU pack,
+    vectorized) must be bit-identical to the sequential-append Pallas
+    kernel across sparse/empty/full/overflow masks."""
+    from ohm_tsd_slam_tpu.grid.compact import pack_channels_rows
+    from ohm_tsd_slam_tpu.ops.compact_pallas import compact_channels_pallas
+
+    rng = np.random.default_rng(7)
+    for rows, p, size in [(1024, 0.03, 512), (1024, 0.0, 512),
+                          (1024, 1.0, 512), (4096, 0.01, 1024),
+                          (1024, 0.5, 256)]:
+        mask = jnp.asarray(rng.random(rows * 128) < p)
+        chans = tuple(jnp.asarray(
+            rng.standard_normal(rows * 128), jnp.float32)
+            for _ in range(4))
+        pk, ck = compact_channels_pallas(mask, chans, size,
+                                         interpret=True)
+        px, cx = pack_channels_rows(mask, chans, size)
+        assert int(ck) == int(cx)
+        np.testing.assert_array_equal(np.asarray(pk), np.asarray(px))
