@@ -55,14 +55,15 @@ from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D
 HALO = rf.WINDOW + 4
 
 
-def _halo_exchange(tsd_local: jnp.ndarray, axis: str) -> jnp.ndarray:
-    """[h, W] -> [h + 2*HALO, W] with neighbor rows over `axis`
+def _halo_exchange(tsd_local: jnp.ndarray, axis: str,
+                   rows: int = HALO) -> jnp.ndarray:
+    """[h, W] -> [h + 2*rows, W] with neighbor rows over `axis`
     (edge shards pad with NaN = unobserved)."""
     n = jax.lax.psum(1, axis)
     idx = jax.lax.axis_index(axis)
-    up = jax.lax.ppermute(tsd_local[-HALO:, :], axis,
+    up = jax.lax.ppermute(tsd_local[-rows:, :], axis,
                           [(i, (i + 1) % n) for i in range(n)])
-    down = jax.lax.ppermute(tsd_local[:HALO, :], axis,
+    down = jax.lax.ppermute(tsd_local[:rows, :], axis,
                             [(i, (i - 1) % n) for i in range(n)])
     nan = jnp.nan
     up = jnp.where(idx == 0, nan, up)          # nothing below shard 0

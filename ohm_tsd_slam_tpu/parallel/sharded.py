@@ -112,10 +112,13 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
         through the explicit shard_map paths (halo exchange + pmin/psum
         over "sp", parallel/shard_raycast.py) instead of letting GSPMD
         satisfy their grid reads — the collectives then stay
-        O(halo + beams) per scan instead of gathering grid rows.  ICP /
-        EXP / PDF modes are fully covered (their registration reads no
-        grid); the TSD / AMCL / GN matchers still read the grid through
-        GSPMD (control-point taps, not certified-bounded).
+        O(halo + beams) per scan instead of gathering grid rows.  The
+        grid-READING matchers (TSD control-point taps — the reference's
+        shipped default mode, config/single-laser.yaml
+        registration_mode: 3 — plus AMCL likelihoods and GN residuals)
+        likewise run through parallel/shard_matchers.py: shard-local
+        bilinear taps with psum'd per-candidate partial sums, so every
+        registration mode is communication-bounded under the mesh.
     """
     geom = params.geom
     R = poses.shape[0]
@@ -124,6 +127,11 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, R)
 
+    from ohm_tsd_slam_tpu.parallel.shard_matchers import (
+        sharded_match_amcl,
+        sharded_match_gauss_newton,
+        sharded_match_tsd,
+    )
     from ohm_tsd_slam_tpu.parallel.shard_raycast import (
         sharded_pose_gradient,
         sharded_raycast,
@@ -162,7 +170,12 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
         scene, smask = data_to_cartesian(geom, d, m)
         if mode == int(RegMode.GN):
             # direct scan-to-map Gauss-Newton: no raycast, no NN
-            gn = match_gauss_newton(grid, pose, scene, smask, params.gn)
+            if mesh is not None:
+                gn = sharded_match_gauss_newton(mesh, grid, pose, scene,
+                                                smask, params.gn)
+            else:
+                gn = match_gauss_newton(grid, pose, scene, smask,
+                                        params.gn)
             T = gn.T
             err = is_registration_error(T, params.trns_max,
                                         params.rot_max)
@@ -177,12 +190,22 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
                 T_init = match_pdf(k, model.coords, model.mask, scene,
                                    smask, params.ransac, params.beam)
             elif mode == int(RegMode.TSD):
-                T_init = match_tsd(k, grid, pose, model.coords,
-                                   model.mask, scene, smask,
-                                   params.ransac)
+                if mesh is not None:
+                    T_init = sharded_match_tsd(
+                        mesh, k, grid, pose, model.coords, model.mask,
+                        scene, smask, params.ransac)
+                else:
+                    T_init = match_tsd(k, grid, pose, model.coords,
+                                       model.mask, scene, smask,
+                                       params.ransac)
             elif mode == int(RegMode.AMCL):
-                T_init = match_amcl(k, grid, pose, scene, smask,
-                                    params.amcl)
+                if mesh is not None:
+                    T_init = sharded_match_amcl(mesh, k, grid, pose,
+                                                scene, smask,
+                                                params.amcl)
+                else:
+                    T_init = match_amcl(k, grid, pose, scene, smask,
+                                        params.amcl)
             else:
                 T_init = jnp.eye(3, dtype=scene.dtype)
             res = icp(model.coords, model.mask, scene, smask, params.icp,
@@ -201,16 +224,19 @@ def multi_robot_slam_step(grid: TsdGrid, poses: jnp.ndarray,
                                          d, m)
         return new_pose, err, grad, rms
 
-    if models is None:   # GN: no model render at all
-        new_poses, errs, grads, rms = jax.vmap(
-            lambda p, d, m, k: localize_one(p, d, m, None, k))(
-                poses, data, mask, keys)
-    elif mesh is not None:
+    if mesh is not None:
+        # per-robot Python loop: the shard_map matcher/raycast/gradient
+        # paths cannot sit under a vmapped robot axis
         outs = [localize_one(poses[r], data[r], mask[r],
+                             None if models is None else
                              jax.tree.map(lambda x: x[r], models),
                              keys[r]) for r in range(R)]
         new_poses, errs, grads, rms = (
             jnp.stack([o[i] for o in outs]) for i in range(4))
+    elif models is None:   # GN: no model render at all
+        new_poses, errs, grads, rms = jax.vmap(
+            lambda p, d, m, k: localize_one(p, d, m, None, k))(
+                poses, data, mask, keys)
     else:
         new_poses, errs, grads, rms = jax.vmap(localize_one)(
             poses, data, mask, models, keys)

@@ -52,8 +52,12 @@ class AmclParams:
 
 def _log_likelihood(grid: TsdGrid, sensor_pose: jnp.ndarray,
                     ctrl: jnp.ndarray, ctrl_mask: jnp.ndarray,
-                    particles: jnp.ndarray, zrand: float) -> jnp.ndarray:
-    """TSD log-likelihood of each particle pose. particles: [P, 3]."""
+                    particles: jnp.ndarray, zrand: float,
+                    logp_sum_fn=None) -> jnp.ndarray:
+    """TSD log-likelihood of each particle pose. particles: [P, 3].
+
+    `logp_sum_fn(world [P,C,2], ctrl_mask [C]) -> [P]`, when given,
+    replaces the grid taps + masked sum (parallel/shard_matchers.py)."""
     c, s = jnp.cos(particles[:, 2]), jnp.sin(particles[:, 2])
     # local scene points through the particle's perturbation transform
     x = ctrl[None, :, 0]
@@ -61,6 +65,9 @@ def _log_likelihood(grid: TsdGrid, sensor_pose: jnp.ndarray,
     px = c[:, None] * x - s[:, None] * y + particles[:, 0:1]
     py = s[:, None] * x + c[:, None] * y + particles[:, 1:2]
     local = jnp.stack([px, py], axis=-1)                 # [P, C, 2]
+    if logp_sum_fn is not None:
+        world = se2.transform_points(sensor_pose, local)
+        return logp_sum_fn(world, ctrl_mask)
     world = se2.transform_points(sensor_pose, local.reshape(-1, 2))
     tsd, code = interpolate_bilinear(grid, world)
     hit = code == INTERPOLATE_SUCCESS
@@ -83,7 +90,8 @@ def _systematic_resample(key: jax.Array, logw: jnp.ndarray) -> jnp.ndarray:
 
 def match_amcl(key: jax.Array, grid: TsdGrid, sensor_pose: jnp.ndarray,
                scene: jnp.ndarray, mask_scene: jnp.ndarray,
-               params: AmclParams = AmclParams()) -> jnp.ndarray:
+               params: AmclParams = AmclParams(),
+               logp_sum_fn=None) -> jnp.ndarray:
     """Monte-Carlo scene-to-map matching (the working realization of
     AdaptiveMonteCarloMatching::match, AdaptiveMonteCarloMatching.h:35).
 
@@ -123,7 +131,7 @@ def match_amcl(key: jax.Array, grid: TsdGrid, sensor_pose: jnp.ndarray,
         it_key, decay = xs
         k_res, k_jit = jax.random.split(it_key)
         logw = _log_likelihood(grid, sensor_pose, ctrl, ctrl_mask,
-                               particles, params.zrand)
+                               particles, params.zrand, logp_sum_fn)
         w = jax.nn.softmax(logw)
         ess = 1.0 / jnp.maximum(jnp.sum(w * w), 1e-30)
         ess_ratio = ess / params.particles
@@ -140,6 +148,6 @@ def match_amcl(key: jax.Array, grid: TsdGrid, sensor_pose: jnp.ndarray,
 
     # final selection: highest-likelihood particle (no jitter applied)
     logw = _log_likelihood(grid, sensor_pose, ctrl, ctrl_mask,
-                           particles, params.zrand)
+                           particles, params.zrand, logp_sum_fn)
     best = particles[jnp.argmax(logw)]
     return se2.make(best[0], best[1], best[2], dtype=dtype)

@@ -91,24 +91,38 @@ def _field_value_grad(grid: TsdGrid, x: jnp.ndarray
 def match_gauss_newton(grid: TsdGrid, sensor_pose: jnp.ndarray,
                        scene: jnp.ndarray, scene_mask: jnp.ndarray,
                        params: GnParams,
-                       T_init: jnp.ndarray = None) -> GnResult:
+                       T_init: jnp.ndarray = None,
+                       field_fn=None, reduce_fn=None,
+                       max_truncation: float = None) -> GnResult:
     """Align `scene` (sensor frame, [B,2]) to the TSD surface.
 
     Args:
-      grid: map state.
+      grid: map state (may be None when `field_fn` is given).
       sensor_pose: (3,3) current sensor pose (sensor -> world).
       scene: (B,2) scene points in the sensor frame.
       scene_mask: (B,) validity.
       params: static parameters.
       T_init: optional (3,3) sensor-frame seed (e.g. a RANSAC pre-match).
+      field_fn: optional `x [B,2] -> (val, gx, gy, ok)` replacing the
+        grid taps — the row-sharded path plugs a shard-local evaluation
+        in here (parallel/shard_matchers.py); `ok` must then be False
+        for points the shard does not own.
+      reduce_fn: optional reduction applied to the per-iteration normal
+        equations (H, b, n, wsum, wee) — a psum over the mesh axis in
+        the sharded path; identity otherwise.
 
     Returns:
       GnResult with the sensor-frame correction T (new pose = pose @ T).
     """
-    dtype = grid.tsd.dtype
+    dtype = scene.dtype if grid is None else grid.tsd.dtype
     scene = scene.astype(dtype)
     pose = sensor_pose.astype(dtype)
-    trunc = jnp.asarray(grid.max_truncation, dtype)
+    if field_fn is None:
+        field_fn = lambda x: _field_value_grad(grid, x)  # noqa: E731
+    if reduce_fn is None:
+        reduce_fn = lambda stats: stats                  # noqa: E731
+    trunc = jnp.asarray(grid.max_truncation if max_truncation is None
+                        else max_truncation, dtype)
     if T_init is None:
         T_init = jnp.eye(3, dtype=dtype)
     M0 = pose @ T_init.astype(dtype)
@@ -119,7 +133,7 @@ def match_gauss_newton(grid: TsdGrid, sensor_pose: jnp.ndarray,
 
     def body(M, _):
         x = se2.transform_points(M, scene)               # [B,2] world
-        val, gx, gy, ok = _field_value_grad(grid, x)
+        val, gx, gy, ok = field_fn(x)
         e = val * trunc                                  # residual [m]
         g = jnp.stack([gx, gy], axis=-1) * trunc         # d e / d x
 
@@ -144,6 +158,9 @@ def match_gauss_newton(grid: TsdGrid, sensor_pose: jnp.ndarray,
         Hm = J.T @ Jw                                    # 3x3
         b = Jw.T @ e                                     # 3
         n = jnp.sum(w > 0)
+        wsum_l = jnp.sum(w)
+        wee_l = jnp.sum(w * e * e)
+        Hm, b, n, wsum_l, wee_l = reduce_fn((Hm, b, n, wsum_l, wee_l))
         Hd = Hm + lam * jnp.diag(jnp.maximum(jnp.diag(Hm), 1e-12)) \
             + 1e-12 * jnp.eye(3, dtype=dtype)
         step = jnp.linalg.solve(Hd, -b)
@@ -157,8 +174,8 @@ def match_gauss_newton(grid: TsdGrid, sensor_pose: jnp.ndarray,
         Tw = jnp.eye(3, dtype=dtype).at[:2, :2].set(R).at[:2, 2].set(t)
         M_new = Tw @ M
 
-        wsum = jnp.maximum(jnp.sum(w), 1e-12)
-        rms = jnp.sqrt(jnp.sum(w * e * e) / wsum)
+        wsum = jnp.maximum(wsum_l, 1e-12)
+        rms = jnp.sqrt(wee_l / wsum)
         return M_new, (rms, n)
 
     M_final, (rms_hist, n_hist) = jax.lax.scan(

@@ -555,12 +555,17 @@ def match_tsd(key: jax.Array, grid: TsdGrid, sensor_pose: jnp.ndarray,
               model: jnp.ndarray, mask_model: jnp.ndarray,
               scene: jnp.ndarray, mask_scene: jnp.ndarray,
               params: RansacParams, inject: RansacInject = None,
-              return_scores: bool = False):
+              return_scores: bool = False, logp_sum_fn=None):
     """TSD_PDFMatching::match (TSD_PDFMatching.cpp:30-283): candidates
     are scored directly against the map — transform the control set into
     the map frame (TMap = TSensor·T), read the TSD field bilinearly, and
     multiply per-point likelihoods (1 − (1−zrand)·|tsd|), zrand on
     interpolation misses (:223-251).  Winner = highest probability.
+
+    `logp_sum_fn(world [k,C,2], ctrl_mask [C]) -> [k]`, when given,
+    replaces the grid taps + masked sum (grid may then be None) — the
+    hook the row-sharded path plugs a shard-local tap evaluation into
+    (parallel/shard_matchers.py).
     """
     prep = _prepare(key, model, mask_model, scene, mask_scene, params,
                     inject)
@@ -570,6 +575,9 @@ def match_tsd(key: jax.Array, grid: TsdGrid, sensor_pose: jnp.ndarray,
     def score_chunk(phi, t, valid):
         st = _transform_ctrl(prep, phi, t)                     # [k, C, 2]
         world = se2.transform_points(sensor_pose, st)
+        if logp_sum_fn is not None:
+            logp_sum = logp_sum_fn(world, prep.ctrl_mask)
+            return jnp.where(valid, logp_sum, -_BIG), logp_sum
         tsd, code = interpolate_bilinear(grid, world)
         hit = code == INTERPOLATE_SUCCESS
         logp = jnp.where(
