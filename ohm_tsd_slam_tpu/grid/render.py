@@ -49,7 +49,7 @@ import jax.numpy as jnp
 
 from ohm_tsd_slam_tpu.core import se2
 from ohm_tsd_slam_tpu.grid.raycast import RaycastResult, raycast
-from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_fast
+from ohm_tsd_slam_tpu.grid.raycast_fast import raycast_checked
 from ohm_tsd_slam_tpu.grid.state import TsdGrid
 from ohm_tsd_slam_tpu.sensor.polar2d import SensorPolar2D
 
@@ -194,8 +194,11 @@ def render_ranges(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
         pose-only optimization against a FIXED grid (scan-to-map GN,
         pose-graph refinement) this skips the per-call isocontour
         extraction — the forward march then costs the cached-raycast
-        price.  Must be None (or re-extracted) whenever grid.tsd
-        carries gradients or has changed.
+        price.  A STALE cache (grid changed since extraction) is caught
+        by the cache's integer fingerprint and the forward march falls
+        back to the exact dense march (raycast_checked), so results
+        stay correct either way (ADVICE r4 #2); re-extract to get the
+        fast path back.
 
     Returns:
       (ranges, hit, result): ranges [B] in meters (0 where no hit, zero
@@ -205,7 +208,9 @@ def render_ranges(grid: TsdGrid, geom: SensorPolar2D, pose: jnp.ndarray,
     sg = jax.lax.stop_gradient
     grid_sg = jax.tree_util.tree_map(sg, grid)
     if use_fast:
-        res = raycast_fast(grid_sg, geom, sg(pose), segments=segments)
+        # guarded: capacity overflow or a stale `segments` cache falls
+        # back to the exact dense march — never wrong model points
+        res = raycast_checked(grid_sg, geom, sg(pose), segments=segments)
     else:
         res = raycast(grid_sg, geom, sg(pose))
     r0 = sg(res.ranges.astype(grid.tsd.dtype))

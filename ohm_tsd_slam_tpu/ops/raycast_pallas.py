@@ -247,8 +247,9 @@ def pad_beams(ray, lo, hi, t_after, tr, dtype=jnp.float32):
     no interleaving (a packed [B, 8]/[8, B] array costs ~0.8 ms of
     relayout per scan; separate rows are near-free).  Pads can never
     match (lo > hi) and never keep a block's chunk loop alive
-    (t_after = +inf).  `tr` is the [2] sensor translation
-    (grid-center-shifted to match the segment pack)."""
+    (t_after = +inf).  `tr` is the sensor translation, [2] (one pose)
+    or per-beam rows [B, 2] (flat pose batch); grid-center-shifted to
+    match the segment pack."""
     B = ray.shape[0]
     pad = (-B) % B_BLK
 
@@ -259,8 +260,12 @@ def pad_beams(ray, lo, hi, t_after, tr, dtype=jnp.float32):
         return v.reshape(1, -1)
 
     B_out = B + pad
+    if tr.ndim == 2:
+        trx, tryy = p(tr[:, 0]), p(tr[:, 1])
+    else:
+        trx = jnp.broadcast_to(tr[0].astype(dtype), (1, B_out))
+        tryy = jnp.broadcast_to(tr[1].astype(dtype), (1, B_out))
     return (p(ray[:, 0]), p(ray[:, 1]),
             p(lo, 1.0), p(hi, 0.0),
             p(t_after, jnp.inf),
-            jnp.broadcast_to(tr[0].astype(dtype), (1, B_out)),
-            jnp.broadcast_to(tr[1].astype(dtype), (1, B_out)))
+            trx, tryy)

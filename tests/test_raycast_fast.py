@@ -109,3 +109,42 @@ def test_overflow_guard_counts_and_falls_back(monkeypatch):
     # allow ULP-level drift
     np.testing.assert_allclose(np.array(checked.coords),
                                np.array(exact.coords), atol=1e-12)
+
+
+def test_stale_segment_cache_detected_and_falls_back():
+    """A SegmentCache extracted from an older grid version must be
+    detected by the fingerprint gate (ADVICE r4 #2): raycast_fast
+    surfaces it as n_dropped >= beams, and raycast_checked falls back to
+    the exact march of the CURRENT grid."""
+    import ohm_tsd_slam_tpu.grid.raycast_fast as rf
+
+    grid_old, geom = _grid_and_geom([(5.12, 5.12, 0.2)])
+    seg_old = rf.extract_segments(grid_old)
+    assert seg_old.fingerprint is not None
+
+    # grid changes (another scan fused) -> old cache is stale
+    pose2 = np.array(se2.make(5.3, 5.2, 0.5, dtype=np.float64))
+    walls = rect_walls(1.5, 1.5, 8.5, 8.5)
+    r2 = simulate_scan(pose2, geom.size, geom.angular_res, geom.phi_min,
+                       geom.max_range, segments=walls,
+                       circles=[((7.0, 7.2), 0.5)])
+    d2, m2 = polar2d.standard_mask(geom, jnp.asarray(r2))
+    grid_new = push(grid_old, geom, jnp.asarray(pose2), d2, m2)
+
+    qpose = jnp.asarray(np.array(se2.make(5.0, 5.0, 0.9,
+                                          dtype=jnp.float64)))
+    stale = rf.raycast_fast(grid_new, geom, qpose, segments=seg_old)
+    assert int(stale.n_dropped) >= geom.size
+
+    checked = rf.raycast_checked(grid_new, geom, qpose,
+                                 segments=seg_old)
+    exact = raycast(grid_new, geom, qpose)
+    np.testing.assert_array_equal(np.array(checked.mask),
+                                  np.array(exact.mask))
+    np.testing.assert_allclose(np.array(checked.coords),
+                               np.array(exact.coords), atol=1e-12)
+
+    # a FRESH cache of the new grid stays on the fast path
+    seg_new = rf.extract_segments(grid_new)
+    fresh = rf.raycast_fast(grid_new, geom, qpose, segments=seg_new)
+    assert int(fresh.n_dropped) == 0
