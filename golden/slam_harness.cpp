@@ -28,6 +28,20 @@
 #undef protected
 
 #include "BruteForcePairAssignment.h"
+#include "obvision/registration/ransacMatching/TSD_PDFMatching.h"
+
+/* deterministic rand stream for the TSD matcher (mode 3): state +
+ * functions as in ransac_harness.cpp (detrand.h declares them; the
+ * matcher TUs are compiled with the shim force-included).  The ICP
+ * path consumes no rand, so mode 0 output is unaffected. */
+unsigned int det_rand_state = 1u;
+int det_rand(void)
+{
+  det_rand_state = det_rand_state * 1103515245u + 12345u;
+  return (int)(det_rand_state & 0x7fffffffu);
+}
+void det_srand(unsigned int) {}
+void det_reset(unsigned int seed) { det_rand_state = seed; }
 
 #include <cmath>
 #include <cstdint>
@@ -145,6 +159,17 @@ int main(int argc, char** argv)
   in >> kw >> icpIters >> distMax >> distMin;
   in >> kw >> trnsMax >> rotMax >> trnsMin >> rotMin;
 
+  /* registration mode (ThreadLocalize.h:75-81): 0 = ICP only,
+   * 3 = TSD_PDFMatching pre-registration + ICP refinement — the
+   * reference's SHIPPED DEFAULT (config/single-laser.yaml:22).
+   * The matcher's rand stream is det_reset(seed + k) per scan so
+   * tests/golden_io.py can replay the draws scan-by-scan. */
+  int regMode;
+  unsigned ranTrials, ranSizeCtl, ranSeed;
+  double ranEps, ranPhiMaxDeg, zrandTsd;
+  in >> kw >> regMode >> ranTrials >> ranEps >> ranSizeCtl >>
+      ranPhiMaxDeg >> zrandTsd >> ranSeed;
+
   double Tv[9];
   in >> kw;
   for(int i = 0; i < 9; i++) in >> Tv[i];
@@ -185,6 +210,11 @@ int main(int argc, char** argv)
   icp->setMaxIterations(icpIters);
   icp->setConvergenceCounter(icpIters);
 
+  TSD_PDFMatching* tsdMatcher = NULL;
+  if(regMode == 3)
+    tsdMatcher = new TSD_PDFMatching(*grid, ranTrials, ranEps,
+                                     ranSizeCtl, zrandTsd);
+
   RayCastPolar2D rayCaster;
   std::vector<double> modelCoords(2 * size), modelNormals(2 * size),
       scene(2 * size, 0.0);
@@ -195,6 +225,8 @@ int main(int argc, char** argv)
   Matrix lastPose(3, 3);
   std::vector<double> poseTrace, Ttrace;
   std::vector<int32_t> flags;   /* per scan: regError, significant */
+  std::vector<unsigned char> maskMTrace, maskSTrace;
+  std::vector<double> modelTrace;
 
   for(int k = 0; k < nscan; k++)
   {
@@ -229,6 +261,13 @@ int main(int argc, char** argv)
     double* scenePtr = scene.data();
     unsigned validScenePoints =
         sensor->dataToCartesianVectorMask(scenePtr, maskS);
+    for(unsigned i = 0; i < size; i++)
+    {
+      maskMTrace.push_back(maskM[i] ? 1 : 0);
+      maskSTrace.push_back(maskS[i] ? 1 : 0);
+    }
+    modelTrace.insert(modelTrace.end(), modelCoords.begin(),
+                      modelCoords.end());
 
     Matrix M(size, 2, modelCoords.data());
     Matrix N(size, 2, modelNormals.data());
@@ -237,9 +276,25 @@ int main(int argc, char** argv)
     Matrix Nvalid = maskMatrix(&N, maskM, size, validModelPoints);
     Matrix Svalid = maskMatrix(&S, maskS, size, validScenePoints);
 
-    /* doRegistration, mode ICP (:513-591) */
+    /* doRegistration (:513-591) */
     Matrix T44(4, 4);
     T44.setIdentity();
+    if(regMode == 3)
+    {
+      /* TSD branch (:558-568): matcher reads the CURRENT grid */
+      det_reset(ranSeed + (unsigned)k);
+      Matrix Ts = sensor->getTransformation();
+      Matrix Tpre = tsdMatcher->match(
+          Ts, &M, maskM, NULL, &S, maskS,
+          ranPhiMaxDeg * M_PI / 180.0, trnsMax,
+          sensor->getAngularResolution());
+      T44(0, 0) = Tpre(0, 0);
+      T44(0, 1) = Tpre(0, 1);
+      T44(0, 3) = Tpre(0, 2);
+      T44(1, 0) = Tpre(1, 0);
+      T44(1, 1) = Tpre(1, 1);
+      T44(1, 3) = Tpre(1, 2);
+    }
     icp->reset();
     Matrix P = sensor->getTransformation();
     filterBounds->setPose(&P);
@@ -282,6 +337,14 @@ int main(int argc, char** argv)
     dump_array("T_trace", 'f', 2, dims2, Ttrace.data());
     uint32_t dimsf[2] = {(uint32_t)nscan, 2};
     dump_array("flags", 'i', 2, dimsf, flags.data());
+    /* per-scan raycast masks + model coords (scans 1..nscan-1): lets
+     * the parity test pinpoint which side of the matcher's inputs
+     * diverges first */
+    uint32_t dimsm[2] = {(uint32_t)(nscan - 1), size};
+    dump_array("maskM_trace", 'b', 2, dimsm, maskMTrace.data());
+    dump_array("maskS_trace", 'b', 2, dimsm, maskSTrace.data());
+    uint32_t dimsmc[2] = {(uint32_t)(nscan - 1), 2 * size};
+    dump_array("model_trace", 'f', 2, dimsmc, modelTrace.data());
   }
 
   fclose(g_out);

@@ -249,6 +249,14 @@ def cmd_launch(args) -> int:
 
 
 def main(argv=None) -> int:
+    # warm process starts: persist compiled XLA executables across runs
+    # (the reference node starts in ms; see utils/compile_cache.py)
+    from ohm_tsd_slam_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser(prog="python -m ohm_tsd_slam_tpu",
                                  description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -492,10 +492,14 @@ class SegmentCache(NamedTuple):
 
 
 def grid_fingerprint(tsd: jnp.ndarray) -> jnp.ndarray:
-    """Order-independent integer checksum of the TSD bit pattern."""
-    itype = jnp.int64 if tsd.dtype == jnp.float64 else jnp.int32
-    bits = jax.lax.bitcast_convert_type(tsd, itype)
-    return jnp.sum(bits, dtype=itype)
+    """Order-independent integer checksum of the TSD bit pattern.
+
+    Always reinterprets at 32-bit granularity (f64 bitcasts to an extra
+    trailing [2] axis): the TPU X64-rewrite pass has no lowering for a
+    same-width f64->s64 bitcast, and wraparound i32 summation is
+    reduction-order-independent either way."""
+    bits = jax.lax.bitcast_convert_type(tsd, jnp.int32)
+    return jnp.sum(bits, dtype=jnp.int32)
 
 
 def _pack_origin(grid: TsdGrid, dtype) -> jnp.ndarray:
@@ -866,30 +870,29 @@ def _raycast_core(grid: TsdGrid, segments: Optional[SegmentCache],
         n_defer = jnp.asarray(0, jnp.int32)
         _defer_pass = None
 
-    def _rounds(carry):
-        """Rounds 2..ROUNDS.  Runs under lax.cond only when the defer
-        replay still left beams unresolved (true double crossings
-        inside one march window) — the common scan skips the second
-        sweep and the per-round compactions/scatters/kernel launches
-        here entirely.  When the predicate is true but individual
-        beams are fine, every update below is the identity, so outputs
-        are bit-identical with or without the skip."""
+    def _rounds(carry, lev_rest=None):
+        """Rounds 2..ROUNDS.  Runs under lax.cond only when an
+        unresolved beam actually HAS a next candidate (true double
+        crossings inside one march window) — the common scan skips the
+        per-round compactions/scatters/kernel launches here entirely.
+        When the predicate is true but individual beams are fine, every
+        update below is the identity, so outputs are bit-identical with
+        or without the skip.  On the kernel path `lev_rest` (the
+        precomputed candidate levels) is hoisted OUT of the cond by the
+        caller: the sweep skips all-resolved blocks, and its level-1
+        column decides whether this machinery runs at all — a beam that
+        stays unresolved WITHOUT further candidates (grazing tangency)
+        must not drag the whole replay tail in every scan (the r4
+        stage_tails pathology: 2 such beams cost 0.16 ms/scan)."""
         hit, any_1, pos_ev, interp, normals_w, n_ok, n_dropped = carry
         resolved = any_1 | ~has
         t_search = jnp.maximum(lo, k_1 + cover)
 
         # rounds 2..ROUNDS: compacted unresolved beams only.
-        # Candidate levels for them come from the second sweep launch
-        # (bound chain identical to the rounds loop's t_search
-        # sequence: level k = earliest intersection >= level k-1 +
-        # cover).
-        if ROUNDS > 1 and segments.pack is not None:
-            t_after2 = jnp.where(resolved, jnp.inf, t_search)
-            lev_rest = segment_min_pallas(
-                segpack, pad_beams(ray, lo, hi, t_after2, tr_pack),
-                seg_count, levels=ROUNDS - 1,
-                cover=float(WINDOW - BACKOFF - 2.0))
-
+        # Candidate levels come from the hoisted second sweep (bound
+        # chain identical to the rounds loop's t_search sequence:
+        # level k = earliest intersection >= level k-1 + cover).
+        if lev_rest is not None:
             def candidates(round_idx, t_after):
                 return lev_rest[:N, round_idx - 1]
         else:
@@ -995,8 +998,27 @@ def _raycast_core(grid: TsdGrid, segments: Optional[SegmentCache],
         carry = jax.lax.cond(n_defer > 0, _defer_pass, lambda c: c,
                              carry)
     any_1 = carry[1]
-    all_res = jnp.all(any_1 | ~has)
-    carry = jax.lax.cond(all_res, lambda c: c, _rounds, carry)
+    resolved_now = any_1 | ~has
+    if ROUNDS > 1 and segments.pack is not None:
+        # hoisted second sweep: cheap (all-resolved beam blocks skip
+        # their chunk loops), and its level-1 column gives the PRECISE
+        # rounds trigger — "some unresolved beam has a next candidate"
+        # — instead of ~all_res, which fires on candidate-less grazing
+        # beams and ran the whole rounds tail every scan (r4 weak #1)
+        t_after2 = jnp.where(resolved_now, jnp.inf,
+                             jnp.maximum(lo, k_1 + cover))
+        lev_rest = segment_min_pallas(
+            segpack, pad_beams(ray, lo, hi, t_after2, tr_pack),
+            seg_count, levels=ROUNDS - 1,
+            cover=float(WINDOW - BACKOFF - 2.0))
+        need_any = jnp.any(jnp.isfinite(lev_rest[:N, 0])
+                           & ~resolved_now)
+        carry = jax.lax.cond(need_any,
+                             partial(_rounds, lev_rest=lev_rest),
+                             lambda c: c, carry)
+    else:
+        all_res = jnp.all(resolved_now)
+        carry = jax.lax.cond(all_res, lambda c: c, _rounds, carry)
     hit, any_1, pos_ev, interp, normals_w, n_ok, n_dropped = carry
 
     coords_w = pos_ev + ray * (interp[:, None] - 1.0)

@@ -41,6 +41,20 @@ from ohm_tsd_slam_tpu.registration.ransac import (
 MIN_VALID_POINTS = 10   # TwinPointMatching.cpp:88
 
 
+class TwinInject:
+    """Deterministic draw injection for golden parity (cf.
+    ransac.RansacInject): control indices plus per-trial valid-rank
+    pairs replayed from the reference's rand() stream
+    (TwinPointMatching.cpp:184-191, golden_io.replay_twin)."""
+
+    def __init__(self, ctrl_idx, ctrl_valid, rank1, rank2, trial_valid):
+        self.ctrl_idx = ctrl_idx
+        self.ctrl_valid = ctrl_valid
+        self.rank1 = rank1
+        self.rank2 = rank2
+        self.trial_valid = trial_valid
+
+
 def _intra_distance_lut(scene: jnp.ndarray, mask: jnp.ndarray,
                         min_d: int, max_d: int):
     """Squared distances |S[i+d] − S[i]|² for d ∈ [min_d, max_d).
@@ -62,7 +76,9 @@ def _intra_distance_lut(scene: jnp.ndarray, mask: jnp.ndarray,
 def match_twinpoint(key: jax.Array, model: jnp.ndarray,
                     mask_model: jnp.ndarray, scene: jnp.ndarray,
                     mask_scene: jnp.ndarray,
-                    params: RansacParams) -> jnp.ndarray:
+                    params: RansacParams,
+                    inject: TwinInject = None,
+                    return_scores: bool = False) -> jnp.ndarray:
     """TwinPointMatching::match (TwinPointMatching.cpp:88-389)."""
     n = model.shape[0]
     dtype = scene.dtype
@@ -87,17 +103,22 @@ def match_twinpoint(key: jax.Array, model: jnp.ndarray,
     beam_of_rank = jnp.argsort(jnp.where(mask_model, order, _BIG))[:n]
 
     # trials: randIdx uniform in [0, |valid|-1-minDist)
-    u1 = jax.random.uniform(k_trial, (params.trials,))
-    hi1 = jnp.maximum(n_mvalid - 1 - min_d, 1).astype(dtype)
-    rank1 = jnp.floor(u1 * hi1).astype(jnp.int32)
-    # second sample: rank1 + minDist + rand() % (remaining - minDist)
-    remaining = jnp.minimum(n_mvalid - rank1 - 1, max_d)
-    u2 = jax.random.uniform(k_pair, (params.trials,))
-    width = jnp.maximum(remaining - min_d, 1).astype(dtype)
-    rank2 = rank1 + min_d + jnp.floor(u2 * width).astype(jnp.int32)
+    if inject is not None:
+        rank1 = jnp.asarray(inject.rank1, jnp.int32)
+        rank2 = jnp.asarray(inject.rank2, jnp.int32)
+        trial_ok = jnp.asarray(inject.trial_valid) & ok
+    else:
+        u1 = jax.random.uniform(k_trial, (params.trials,))
+        hi1 = jnp.maximum(n_mvalid - 1 - min_d, 1).astype(dtype)
+        rank1 = jnp.floor(u1 * hi1).astype(jnp.int32)
+        # second sample: rank1 + minDist + rand() % (remaining - minDist)
+        remaining = jnp.minimum(n_mvalid - rank1 - 1, max_d)
+        u2 = jax.random.uniform(k_pair, (params.trials,))
+        width = jnp.maximum(remaining - min_d, 1).astype(dtype)
+        rank2 = rank1 + min_d + jnp.floor(u2 * width).astype(jnp.int32)
+        trial_ok = (rank2 < n_mvalid) & (rank1 >= 0) & ok
     idx1 = beam_of_rank[jnp.clip(rank1, 0, n - 1)]
     idx2 = beam_of_rank[jnp.clip(rank2, 0, n - 1)]
-    trial_ok = (rank2 < n_mvalid) & (rank1 >= 0) & ok
 
     v_m = model[idx2] - model[idx1]                         # [T, 2]
     c_m = 0.5 * (model[idx1] + model[idx2])
@@ -105,8 +126,12 @@ def match_twinpoint(key: jax.Array, model: jnp.ndarray,
     phi_m = jnp.arctan2(v_m[:, 1], v_m[:, 0])
 
     # control set from raw scene validity (TwinPointMatching.cpp:144-146)
-    c_idx, c_mask = random_valid_subset(k_ctrl, mask_scene,
-                                        params.size_control_set)
+    if inject is not None:
+        c_idx = jnp.asarray(inject.ctrl_idx, jnp.int32)
+        c_mask = jnp.asarray(inject.ctrl_valid)
+    else:
+        c_idx, c_mask = random_valid_subset(k_ctrl, mask_scene,
+                                            params.size_control_set)
     ctrl = scene[c_idx]
 
     # scene pair search: per (trial, window beam i), best i2 by
@@ -194,11 +219,19 @@ def match_twinpoint(key: jax.Array, model: jnp.ndarray,
         rate = cnt.astype(dtype) / jnp.maximum(max_cnt, 1).astype(dtype)
         good = valid & (cnt > 0)
         return (jnp.where(good, jnp.round(rate * 1e5), -_BIG),
-                jnp.where(good, cnt.astype(dtype), -_BIG), err)
+                jnp.where(good, cnt.astype(dtype), -_BIG), err,
+                max_cnt)
 
-    rate_q, cnt, err = jax.lax.map(score_chunk, (phi_p, t_p, ok_p, clip_p))
+    rate_q, cnt, err, max_cnt = jax.lax.map(
+        score_chunk, (phi_p, t_p, ok_p, clip_p))
     rate_q = rate_q.reshape(-1)[:K]
     cnt = cnt.reshape(-1)[:K]
     err = err.reshape(-1)[:K]
+    max_cnt = max_cnt.reshape(-1)[:K]
 
-    return _lex_best((rate_q, cnt, -err), phi_f, t_f, ok)
+    T = _lex_best((rate_q, cnt, -err), phi_f, t_f, ok)
+    if return_scores:
+        return T, dict(idx1=idx1, idx2=idx2, i_s=i_s, pair_ok=pair_ok,
+                       i2_best=i2_best, rate_q=rate_q, cnt=cnt, err=err,
+                       max_cnt=max_cnt, phi=phi_f, t=t_f, span=span)
+    return T

@@ -20,6 +20,19 @@ import jax  # noqa: E402
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA executable cache: the suite's long poles are the
+# sharded-step compiles (70-115 s each on this 2-core host); a warm
+# cache deserializes them instead (utils/compile_cache.py).  Keyed by
+# XLA flags, so the 8-virtual-device setting above stays part of the
+# cache key.
+from ohm_tsd_slam_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    os.path.expanduser("~/.cache/ohm_tsd_slam_tpu/xla-tests"),
+    min_compile_secs=1.0)
+
 # Drop any non-CPU PJRT plugin factories (e.g. the axon TPU tunnel this
 # image registers via sitecustomize): tests must never claim the real
 # chip, and a busy chip would hang backend initialization.

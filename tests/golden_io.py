@@ -167,3 +167,26 @@ def load_score3d(path: str) -> np.ndarray:
                 rows.append((int(p[0]), int(p[1]), int(p[2]),
                              float(p[3])))
     return np.array(rows, dtype=np.float64)
+
+
+def replay_twin(seed: int, idx_s_valid, n_m_valid: int, trials: int,
+                size_control: int, min_d: int, max_d: int):
+    """TwinPointMatching's rand() stream (TwinPointMatching.cpp:144-191):
+    pickControlSet over the raw-valid scene indices, the intercepted
+    no-op srand, then per trial (randIdx, second-sample) draw pairs over
+    the valid-model RANKS.  Returns (ctrl_idx, rank1, rank2)."""
+    dr = DetRand(seed)
+    tmp = list(idx_s_valid)
+    ctrl = []
+    for _ in range(min(size_control, len(tmp))):
+        r = dr.rand() % len(tmp)
+        ctrl.append(tmp.pop(r))
+    # srand(time(NULL)) in pickControlSet is det_srand = no-op
+    r1s, r2s = [], []
+    for _ in range(trials):
+        r1 = dr.rand() % ((n_m_valid - 1) - min_d)
+        remaining = min(n_m_valid - r1 - 1, max_d)
+        r2 = r1 + (dr.rand() % (remaining - min_d)) + min_d
+        r1s.append(r1)
+        r2s.append(r2)
+    return ctrl, r1s, r2s

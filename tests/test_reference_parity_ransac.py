@@ -288,3 +288,103 @@ def test_tsd_improvements_match(setup):
                         gated=np.asarray(aux["logp"]),
                         scale=10.0, tol=1e-5)
     np.testing.assert_allclose(np.asarray(T), s["tbest"][2], atol=1e-9)
+
+
+def test_twinpoint_candidates_scores_and_winner(setup):
+    """TwinPointMatching golden parity (VERDICT r4 missing #4): the
+    candidate set (every (trial, window-beam) the reference's Trace
+    recorded after the eps/phi/trans gates + cnt>0,
+    TwinPointMatching.cpp:216-372), the per-candidate consensus error,
+    and the winner under the reference's streaming acceptance rule
+    (:349-361, OMP_NUM_THREADS=1 visit order)."""
+    from ohm_tsd_slam_tpu.registration.ransac import RansacParams
+    from ohm_tsd_slam_tpu.registration.twinpoint import (
+        TwinInject,
+        match_twinpoint,
+    )
+
+    from golden_io import replay_twin
+
+    s = setup
+    z = s["z"]
+    N = s["M"].shape[0]
+    res = float(z["resolution"])
+    params = RansacParams(
+        trials=int(z["trials"]), eps_thresh=float(z["eps_thresh"]),
+        size_control_set=int(z["size_control"]),
+        phi_max=float(z["phi_max"]), resolution=res,
+        trans_max=1.5)
+    res_deg = math.degrees(res)
+    min_d = max(1, int(3.0 / res_deg))
+    max_d = max(2, int(10.0 / res_deg))
+
+    maskM = np.asarray(s["maskM"])
+    maskS = np.asarray(s["maskS"])
+    idx_s_valid = [i for i in range(N) if maskS[i]]
+    n_m_valid = int(maskM.sum())
+    ctrl, r1s, r2s = replay_twin(int(z["seed"]), idx_s_valid, n_m_valid,
+                                 params.trials, params.size_control_set,
+                                 min_d, max_d)
+    C = params.size_control_set
+    ctrl_idx = np.zeros(C, np.int32)
+    ctrl_idx[:len(ctrl)] = ctrl
+    inject = TwinInject(
+        ctrl_idx=jnp.asarray(ctrl_idx),
+        ctrl_valid=jnp.asarray(np.arange(C) < len(ctrl)),
+        rank1=jnp.asarray(np.asarray(r1s, np.int32)),
+        rank2=jnp.asarray(np.asarray(r2s, np.int32)),
+        trial_valid=jnp.asarray(np.ones(params.trials, bool)))
+
+    import jax as _jax
+
+    T, aux = match_twinpoint(_jax.random.PRNGKey(0), s["M"], s["maskM"],
+                             s["S"], s["maskS"], params, inject=inject,
+                             return_scores=True)
+
+    span = aux["span"]
+    idx1 = np.asarray(aux["idx1"])
+    good = ((np.asarray(aux["pair_ok"]).reshape(-1))
+            & (np.asarray(aux["cnt"]) > 0))
+    err = np.asarray(aux["err"])
+    cnt = np.asarray(aux["cnt"])
+    max_cnt = np.asarray(aux["max_cnt"])
+
+    rows = load_score3d(os.path.join(RANSAC_DIR, "twin", "score3D.dat"))
+    assert len(rows) > 50, len(rows)
+
+    ref_set = set()
+    for trial, im, isc, score in rows:
+        trial, im, isc = int(trial), int(im), int(isc)
+        assert im == idx1[trial], (trial, im, idx1[trial])
+        off = isc - im + span
+        assert 0 <= off < 2 * span
+        flat = trial * 2 * span + off
+        ref_set.add(flat)
+        np.testing.assert_allclose(err[flat], score, rtol=1e-6,
+                                   atol=1e-8, err_msg=str((trial, isc)))
+    got_set = set(np.nonzero(good)[0].tolist())
+    assert got_set == ref_set, (sorted(got_set - ref_set)[:5],
+                                sorted(ref_set - got_set)[:5])
+
+    # streaming winner (the reference's acceptance is not a total
+    # order; replicate it in C++ visit order: trials asc, i asc)
+    cnt_best, err_best, rate_best = 0, 1e12, 0.0
+    best_flat = None
+    for flat in sorted(got_set):
+        c = cnt[flat]
+        r = c / max(max_cnt[flat], 1)
+        e = err[flat]
+        rate_cond = (r - rate_best) > 1e-5 and c > cnt_best
+        err_cond = abs(r - rate_best) < 1e-5 and c == cnt_best \
+            and e < err_best
+        if rate_cond or err_cond:
+            cnt_best, err_best, rate_best = c, e, r
+            best_flat = flat
+    tref = np.fromfile(os.path.join(RANSAC_DIR, "tbest_twin.bin")
+                       ).reshape(3, 3)
+    phi_b = float(np.asarray(aux["phi"])[best_flat])
+    t_b = np.asarray(aux["t"])[best_flat]
+    got_T = np.array([[np.cos(phi_b), -np.sin(phi_b), t_b[0]],
+                      [np.sin(phi_b), np.cos(phi_b), t_b[1]],
+                      [0.0, 0.0, 1.0]])
+    np.testing.assert_allclose(got_T, tref, atol=1e-9)
