@@ -78,9 +78,22 @@ def fmt(vals):
 def main(out_txt, out_npz, mode=0):
     gt = trajectory(25)
     scans = []
+    # deterministic range noise (sigma 3 mm, Hokuyo-class): perfectly
+    # straight synthetic walls make the scene-normal windows exactly
+    # collinear, where the reference's pcaAnalysis reconstructs the
+    # short axis from `centroid +- extent/2` endpoints and the ~1e-15
+    # extent cancels against the ~5 m centroid — the C++ normal
+    # direction then collapses to ULP-quantized ratios (observed
+    # (-1,-2)/sqrt(5), (0,1), ...) that no clean-arithmetic
+    # implementation can reproduce.  Noise keeps every PCA window
+    # well-conditioned, as real lidar data does (matcher-parity
+    # investigation, round 5).
+    rng = np.random.default_rng(99)
     for (x, y, th) in gt:
         r = simulate_scan(se2(x, y, th), SIZE, ANG_RES, PHI_MIN,
                           MAX_RANGE, SEGMENTS, CIRCLES)
+        noise = rng.normal(0.0, 0.003, r.shape)
+        r = np.where(np.isinf(r), np.inf, r + noise)
         scans.append(np.where(np.isinf(r), 1e30, r))
 
     T0 = se2(*gt[0])

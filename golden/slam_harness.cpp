@@ -12,6 +12,19 @@
  * tests/test_reference_parity_slam.py to diff against
  * SlamNode.process_scan.
  */
+/* pre-include std headers so the visibility hack below cannot corrupt
+ * their access specifiers (include guards make later includes no-ops) */
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <sstream>
+#include <string>
+#include <vector>
+
 #define private public
 #define protected public
 
@@ -24,11 +37,12 @@
 #include "obvision/registration/icp/assign/filter/OutOfBoundsFilter2D.h"
 #include "obvision/registration/icp/assign/filter/ReciprocalFilter.h"
 
+#include "obvision/registration/ransacMatching/TSD_PDFMatching.h"
+
 #undef private
 #undef protected
 
 #include "BruteForcePairAssignment.h"
-#include "obvision/registration/ransacMatching/TSD_PDFMatching.h"
 
 /* deterministic rand stream for the TSD matcher (mode 3): state +
  * functions as in ransac_harness.cpp (detrand.h declares them; the
@@ -212,8 +226,13 @@ int main(int argc, char** argv)
 
   TSD_PDFMatching* tsdMatcher = NULL;
   if(regMode == 3)
+  {
     tsdMatcher = new TSD_PDFMatching(*grid, ranTrials, ranEps,
                                      ranSizeCtl, zrandTsd);
+    /* per-scan improvement-chain traces (score3D.dat rows: trial idx i
+     * 10*prob) let the parity test diff the scoring itself */
+    tsdMatcher->activateTrace();
+  }
 
   RayCastPolar2D rayCaster;
   std::vector<double> modelCoords(2 * size), modelNormals(2 * size),
@@ -226,7 +245,11 @@ int main(int argc, char** argv)
   std::vector<double> poseTrace, Ttrace;
   std::vector<int32_t> flags;   /* per scan: regError, significant */
   std::vector<unsigned char> maskMTrace, maskSTrace;
-  std::vector<double> modelTrace;
+  std::vector<double> modelTrace, TpreTrace;
+  std::vector<unsigned char> maskMpcaTrace, maskSpcaTrace;
+  std::vector<int32_t> ctlTrace, trialTrace;
+  std::vector<double> candLogTrace;   /* rows: scan, trial, i, logp */
+  std::vector<double> phiMTrace, phiSTrace, sceneTrace, nsTrace;
 
   for(int k = 0; k < nscan; k++)
   {
@@ -281,6 +304,134 @@ int main(int argc, char** argv)
     T44.setIdentity();
     if(regMode == 3)
     {
+      /* diagnostic: replicate the matcher's prep draws so the parity
+       * test can diff its replay stage by stage (identical stream:
+       * subsample -> control picks -> trial draws) */
+      det_reset(ranSeed + (unsigned)k);
+      {
+        int pca = tsdMatcher->_pcaSearchRange;
+        Matrix NMpca(size, 2);
+        bool* mpca = new bool[size];
+        memcpy(mpca, maskM, size * sizeof(bool));
+        tsdMatcher->calcNormals(&M, &NMpca, maskM, mpca, pca / 2);
+        Matrix NSpca(size, 2);
+        bool* spca = new bool[size];
+        memcpy(spca, maskS, size * sizeof(bool));
+        unsigned vp = 0;
+        for(unsigned i = 0; i < size; i++)
+          if(spca[i]) vp++;
+        double prob = 180.0 / (double)vp;
+        if(prob < 0.99) tsdMatcher->subsampleMask(spca, size, prob);
+        tsdMatcher->calcNormals(&S, &NSpca, maskS, spca, pca / 2);
+        for(unsigned i = 0; i < size; i++)
+        {
+          maskMpcaTrace.push_back(mpca[i] ? 1 : 0);
+          maskSpcaTrace.push_back(spca[i] ? 1 : 0);
+        }
+        std::vector<unsigned int> idxSv =
+            tsdMatcher->extractSamples(&S, spca, pca / 2);
+        std::vector<unsigned int> idxCtl;
+        Matrix* C = tsdMatcher->pickControlSet(&S, idxSv, idxCtl);
+        delete C;
+        for(unsigned c = 0; c < ranSizeCtl; c++)
+          ctlTrace.push_back(c < idxCtl.size() ? (int)idxCtl[c] : -1);
+        std::vector<unsigned int> idxMv =
+            tsdMatcher->extractSamples(&M, mpca, pca / 2);
+        std::vector<unsigned int> idxTrials = idxMv;
+        for(unsigned t = 0; t < ranTrials; t++)
+        {
+          if(idxTrials.empty()) { trialTrace.push_back(-1); continue; }
+          int r = det_rand() % idxTrials.size();
+          trialTrace.push_back((int)idxTrials[r]);
+          idxTrials.erase(idxTrials.begin() + r);
+        }
+        /* exact per-candidate log-probabilities, replicated from the
+         * matcher's scoring loop (TSD_PDFMatching.cpp:196-278) with
+         * the SAME draws: lets the parity test diff scoring directly
+         * (the Trace's %.9f prints underflow for small products) */
+        {
+          int span = (int)floor(
+              std::min(ranPhiMaxDeg * M_PI / 180.0, M_PI * 0.5)
+              / sensor->getAngularResolution());
+          if(span > (int)size) span = (int)size;
+          double* phiM2 = new double[size];
+          double* phiS2 = new double[size];
+          Matrix NM2(size, 2), NS2(size, 2);
+          bool* mm2 = new bool[size];
+          memcpy(mm2, maskM, size * sizeof(bool));
+          tsdMatcher->calcNormals(&M, &NM2, maskM, mm2, pca / 2);
+          tsdMatcher->calcPhi(&NM2, mm2, phiM2);
+          tsdMatcher->calcPhi(&NSpca, spca, phiS2);
+          for(unsigned i = 0; i < size; i++)
+          {
+            phiMTrace.push_back(mm2[i] ? phiM2[i] : -1e9);
+            phiSTrace.push_back(spca[i] ? phiS2[i] : -1e9);
+            sceneTrace.push_back(S(i, 0));
+            sceneTrace.push_back(S(i, 1));
+            nsTrace.push_back(spca[i] ? NSpca(i, 0) : -1e9);
+            nsTrace.push_back(spca[i] ? NSpca(i, 1) : -1e9);
+          }
+          Matrix Ts2 = sensor->getTransformation();
+          std::vector<unsigned int> idxSv2 = idxSv;
+          /* rebuild the control matrix with the SAME indices */
+          Matrix C2(3, (unsigned)idxCtl.size());
+          for(unsigned c = 0; c < idxCtl.size(); c++)
+          {
+            C2(0, c) = S(idxCtl[c], 0);
+            C2(1, c) = S(idxCtl[c], 1);
+            C2(2, c) = 1.0;
+          }
+          for(unsigned t = 0; t < (unsigned)trialTrace.size()
+              && t < ranTrials; t++)
+          {
+            /* trialTrace holds THIS scan's draws at the tail */
+          }
+          unsigned tbase = trialTrace.size() - ranTrials;
+          for(unsigned t = 0; t < ranTrials; t++)
+          {
+            int idx = trialTrace[tbase + t];
+            if(idx < 0) continue;
+            int iMin = std::max(idx - span, pca / 2);
+            int iMax = std::min(idx + span, (int)size - pca / 2);
+            for(int i = iMin; i < iMax; i++)
+            {
+              if(!spca[i]) continue;
+              double phi = phiM2[idx] - phiS2[i];
+              if(phi > M_PI) phi -= 2.0 * M_PI;
+              else if(phi < -M_PI) phi += 2.0 * M_PI;
+              if(fabs(phi) >= std::min(ranPhiMaxDeg * M_PI / 180.0,
+                                       M_PI * 0.5))
+                continue;
+              Matrix T2 = MatrixFactory::TransformationMatrix33(phi, 0, 0);
+              T2(0, 2) = M(idx, 0) - (T2(0, 0) * S(i, 0) + T2(0, 1) * S(i, 1));
+              T2(1, 2) = M(idx, 1) - (T2(1, 0) * S(i, 0) + T2(1, 1) * S(i, 1));
+              Matrix TMap = Ts2 * T2;
+              Matrix STemp = TMap * C2;
+              double logp = 0.0;
+              for(unsigned s = 0; s < STemp.getCols(); s++)
+              {
+                obfloat coord[2];
+                coord[0] = STemp(0, s);
+                coord[1] = STemp(1, s);
+                obfloat tsd;
+                if(!grid->interpolateBilinear(coord, &tsd))
+                  logp += log(1.0 - (1.0 - zrandTsd) * fabs(tsd));
+                else
+                  logp += log(zrandTsd);
+              }
+              candLogTrace.push_back((double)k);
+              candLogTrace.push_back((double)t);
+              candLogTrace.push_back((double)i);
+              candLogTrace.push_back(logp);
+            }
+          }
+          delete[] phiM2;
+          delete[] phiS2;
+          delete[] mm2;
+        }
+        delete[] mpca;
+        delete[] spca;
+      }
       /* TSD branch (:558-568): matcher reads the CURRENT grid */
       det_reset(ranSeed + (unsigned)k);
       Matrix Ts = sensor->getTransformation();
@@ -288,12 +439,19 @@ int main(int argc, char** argv)
           Ts, &M, maskM, NULL, &S, maskS,
           ranPhiMaxDeg * M_PI / 180.0, trnsMax,
           sensor->getAngularResolution());
+      {
+        char tdir[600];
+        snprintf(tdir, 600, "%s_trace_scan%02d", argv[2], k);
+        tsdMatcher->RandomMatching::serializeTrace(tdir);
+      }
       T44(0, 0) = Tpre(0, 0);
       T44(0, 1) = Tpre(0, 1);
       T44(0, 3) = Tpre(0, 2);
       T44(1, 0) = Tpre(1, 0);
       T44(1, 1) = Tpre(1, 1);
       T44(1, 3) = Tpre(1, 2);
+      for(int r = 0; r < 3; r++)
+        for(int c = 0; c < 3; c++) TpreTrace.push_back(Tpre(r, c));
     }
     icp->reset();
     Matrix P = sensor->getTransformation();
@@ -345,6 +503,26 @@ int main(int argc, char** argv)
     dump_array("maskS_trace", 'b', 2, dimsm, maskSTrace.data());
     uint32_t dimsmc[2] = {(uint32_t)(nscan - 1), 2 * size};
     dump_array("model_trace", 'f', 2, dimsmc, modelTrace.data());
+    if(regMode == 3)
+    {
+      uint32_t dimsp[2] = {(uint32_t)(nscan - 1), 9};
+      dump_array("Tpre_trace", 'f', 2, dimsp, TpreTrace.data());
+      uint32_t dimspm[2] = {(uint32_t)(nscan - 1), size};
+      dump_array("maskMpca_trace", 'b', 2, dimspm, maskMpcaTrace.data());
+      dump_array("maskSpca_trace", 'b', 2, dimspm, maskSpcaTrace.data());
+      uint32_t dimsc[2] = {(uint32_t)(nscan - 1), ranSizeCtl};
+      dump_array("ctl_trace", 'i', 2, dimsc, ctlTrace.data());
+      uint32_t dimst[2] = {(uint32_t)(nscan - 1), ranTrials};
+      dump_array("trial_trace", 'i', 2, dimst, trialTrace.data());
+      uint32_t dimscl[2] = {(uint32_t)(candLogTrace.size() / 4), 4};
+      dump_array("cand_log_trace", 'f', 2, dimscl, candLogTrace.data());
+      uint32_t dimsph[2] = {(uint32_t)(nscan - 1), size};
+      dump_array("phiM_trace", 'f', 2, dimsph, phiMTrace.data());
+      dump_array("phiS_trace", 'f', 2, dimsph, phiSTrace.data());
+      uint32_t dimssc[2] = {(uint32_t)(nscan - 1), 2 * size};
+      dump_array("scene_trace", 'f', 2, dimssc, sceneTrace.data());
+      dump_array("ns_trace", 'f', 2, dimssc, nsTrace.data());
+    }
   }
 
   fclose(g_out);

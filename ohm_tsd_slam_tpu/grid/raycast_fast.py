@@ -154,10 +154,16 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
                     for k in range(4))
             counted = jnp.sum(jnp.where(sel_ok, row_cnt[sel], 0))
 
-            # vectorized order-preserving pack (bit-identical to the
-            # sequential-append Pallas kernel, ~0.2 ms faster: the
-            # kernel's per-row carry loop is serial)
-            packed, stored = pack_channels_rows(
+            # order-preserving pack: block kernel (butterfly + staged
+            # roll + one-hot matmul accumulation per 128-row block,
+            # empty blocks skipped) — bit-identical to the XLA
+            # pack_channels_rows, which streamed the full ROW_CAP
+            # capacity through HBM (~0.38 ms/extraction, VERDICT r4 #5)
+            from ohm_tsd_slam_tpu.ops.pack_rows_pallas import (
+                pack_channels_rows_pallas,
+            )
+
+            packed, stored = pack_channels_rows_pallas(
                 m2s.reshape(-1), tuple(c.reshape(-1) for c in chans_s),
                 max_segments)
             p0 = jnp.stack([packed[0, :max_segments],
@@ -180,56 +186,57 @@ def _isocontour_segments(grid: TsdGrid, max_segments: int = None):
     return p0, p1, valid, n_dropped
 
 
-def _segment_layers(grid: TsdGrid):
-    """Dense marching-squares + virtual-segment layers.
+def _ms_crossing(a, b):
+    """Marching-squares edge-crossing predicate (shared helper)."""
+    return ((a > 0) & (b < 0)) | ((a < 0) & (b > 0))
 
-    Returns (mask [4*H*W] bool, (p0x, p0y, p1x, p1y) flat channels).
+
+def _ms_frac(a, b):
+    return a / (a - b)
+
+
+def _quad_segments(v00, v01, v11, v10, qx, qy, s):
+    """Per-quad marching-squares endpoint formulas — the ONE copy of
+    the crossing/interpolation/first-last/saddle geometry shared by the
+    dense `_segment_layers` and the lazy `_channels_for_rows`
+    (ADVICE r4 #3; the Pallas mask kernel replicates the MASK subset in
+    kernel language, asserted equal in tests/test_raycast_pallas.py).
+
+    Corners: v00=(y,x), v01=(y,x+1), v11=(y+1,x+1), v10=(y+1,x);
+    qx/qy broadcastable quad indices (float).  Returns a dict with the
+    per-layer endpoints + masks, bit-identical to the pre-refactor
+    formulas (identical operation order).
     """
-    s = grid.cell_size
-    tsd = grid.tsd
-    H, W = tsd.shape
-    dtype = tsd.dtype
-
-    v00 = tsd[:-1, :-1]          # corner (y,   x)
-    v01 = tsd[:-1, 1:]           # corner (y,   x+1)
-    v11 = tsd[1:, 1:]            # corner (y+1, x+1)
-    v10 = tsd[1:, :-1]           # corner (y+1, x)
     quad_ok = ~(jnp.isnan(v00) | jnp.isnan(v01)
                 | jnp.isnan(v11) | jnp.isnan(v10))
 
-    def crossing(a, b):
-        return ((a > 0) & (b < 0)) | ((a < 0) & (b > 0))
-
-    def frac(a, b):
-        return a / (a - b)
-
     # edges: bottom (v00-v01), right (v01-v11), top (v10-v11),
     # left (v00-v10); crossing points in world coords
-    cb = crossing(v00, v01)
-    cr = crossing(v01, v11)
-    ct = crossing(v10, v11)
-    cl = crossing(v00, v10)
+    cb = _ms_crossing(v00, v01)
+    cr = _ms_crossing(v01, v11)
+    ct = _ms_crossing(v10, v11)
+    cl = _ms_crossing(v00, v10)
 
-    qx = jnp.arange(W - 1, dtype=dtype)[None, :]
-    qy = jnp.arange(H - 1, dtype=dtype)[:, None]
-    Bx = (qx + 0.5 + frac(v00, v01)) * s
+    Bx = (qx + 0.5 + _ms_frac(v00, v01)) * s
     By = jnp.broadcast_to((qy + 0.5) * s, Bx.shape)
     Rx = jnp.broadcast_to((qx + 1.5) * s, Bx.shape)
-    Ry = (qy + 0.5 + frac(v01, v11)) * s
-    Tx = (qx + 0.5 + frac(v10, v11)) * s
+    Ry = (qy + 0.5 + _ms_frac(v01, v11)) * s
+    Tx = (qx + 0.5 + _ms_frac(v10, v11)) * s
     Ty = jnp.broadcast_to((qy + 1.5) * s, Bx.shape)
     Lx = jnp.broadcast_to((qx + 0.5) * s, Bx.shape)
-    Ly = (qy + 0.5 + frac(v00, v10)) * s
+    Ly = (qy + 0.5 + _ms_frac(v00, v10)) * s
+    Px = [Bx, Rx, Tx, Lx]
+    Py = [By, Ry, Ty, Ly]
 
-    F = jnp.stack([cb, cr, ct, cl]) & quad_ok             # [4, Hq, Wq]
-    Px = jnp.stack([Bx, Rx, Tx, Lx])
-    Py = jnp.stack([By, Ry, Ty, Ly])
-    n_crossed = jnp.sum(F, axis=0)
+    F = [cb & quad_ok, cr & quad_ok, ct & quad_ok, cl & quad_ok]
+    n_crossed = sum(f.astype(jnp.int32) for f in F)
 
     # two-crossing quads: the segment joins the first and last crossed
     # edge in B,R,T,L order (unique for n == 2)
-    first = jnp.argmax(F, axis=0)
-    last = 3 - jnp.argmax(F[::-1], axis=0)
+    first = jnp.where(F[0], 0, jnp.where(F[1], 1,
+            jnp.where(F[2], 2, jnp.where(F[3], 3, 0))))
+    last = jnp.where(F[3], 3, jnp.where(F[2], 2,
+           jnp.where(F[1], 1, jnp.where(F[0], 0, 3))))
 
     def pick(P, idx):
         # dense 4-way select (take_along_axis lowers to a serial gather
@@ -259,14 +266,49 @@ def _segment_layers(grid: TsdGrid):
                        pick(Px, last))
     s1_p1y = jnp.where(four, jnp.where(same00, Py[1], Py[3]),
                        pick(Py, last))
-    s1_mask = two | four
 
     # segment 2 only on saddle quads: (T, L or R)
-    s2_p0x = Px[2]
-    s2_p0y = Py[2]
     s2_p1x = jnp.where(same00, Px[3], Px[1])
     s2_p1y = jnp.where(same00, Py[3], Py[1])
-    s2_mask = four
+
+    return dict(quad_ok=quad_ok, two=two, four=four, Px=Px, Py=Py,
+                s1_p0x=s1_p0x, s1_p0y=s1_p0y, s1_p1x=s1_p1x,
+                s1_p1y=s1_p1y, s2_p0x=Px[2], s2_p0y=Py[2],
+                s2_p1x=s2_p1x, s2_p1y=s2_p1y)
+
+
+def _segment_layers(grid: TsdGrid):
+    """Dense marching-squares + virtual-segment layers.
+
+    Returns (mask [4*H*W] bool, (p0x, p0y, p1x, p1y) flat channels).
+    """
+    s = grid.cell_size
+    tsd = grid.tsd
+    H, W = tsd.shape
+    dtype = tsd.dtype
+
+    v00 = tsd[:-1, :-1]          # corner (y,   x)
+    v01 = tsd[:-1, 1:]           # corner (y,   x+1)
+    v11 = tsd[1:, 1:]            # corner (y+1, x+1)
+    v10 = tsd[1:, :-1]           # corner (y+1, x)
+
+    qx = jnp.arange(W - 1, dtype=dtype)[None, :]
+    qy = jnp.arange(H - 1, dtype=dtype)[:, None]
+    q = _quad_segments(v00, v01, v11, v10, qx, qy, s)
+    quad_ok = q["quad_ok"]
+
+    def crossing(a, b):
+        return _ms_crossing(a, b)
+
+    def frac(a, b):
+        return _ms_frac(a, b)
+
+    s1_p0x, s1_p0y = q["s1_p0x"], q["s1_p0y"]
+    s1_p1x, s1_p1y = q["s1_p1x"], q["s1_p1y"]
+    s1_mask = q["two"] | q["four"]
+    s2_p0x, s2_p0y = q["s2_p0x"], q["s2_p0y"]
+    s2_p1x, s2_p1y = q["s2_p1x"], q["s2_p1y"]
+    s2_mask = q["four"]
 
     # --- virtual segments for NaN-adjacent crossings ---------------------
     # A crossed edge both of whose adjacent quads have a NaN corner (the
@@ -373,70 +415,24 @@ def _channels_for_rows(grid: TsdGrid, sel: jnp.ndarray,
           + jnp.arange(chunk, dtype=jnp.int32)[None, :]).astype(dtype)
     qy = y[:, None].astype(dtype)
 
-    def crossing(a, b):
-        return ((a > 0) & (b < 0)) | ((a < 0) & (b > 0))
-
-    def frac(a, b):
-        return a / (a - b)
-
-    quad_ok = ~(jnp.isnan(v00) | jnp.isnan(v01)
-                | jnp.isnan(v11) | jnp.isnan(v10))
-    cb = crossing(v00, v01)
-    cr = crossing(v01, v11)
-    ct = crossing(v10, v11)
-    cl = crossing(v00, v10)
-
-    Bx = (qx + 0.5 + frac(v00, v01)) * s
-    By = jnp.broadcast_to((qy + 0.5) * s, Bx.shape)
-    Rx = (qx + 1.5) * s
-    Ry = (qy + 0.5 + frac(v01, v11)) * s
-    Tx = (qx + 0.5 + frac(v10, v11)) * s
-    Ty = jnp.broadcast_to((qy + 1.5) * s, Bx.shape)
-    Lx = jnp.broadcast_to((qx + 0.5) * s, Bx.shape)
-    Ly = (qy + 0.5 + frac(v00, v10)) * s
-    Px = [Bx, Rx, Tx, Lx]
-    Py = [By, Ry, Ty, Ly]
-
-    F = [cb & quad_ok, cr & quad_ok, ct & quad_ok, cl & quad_ok]
-    n_crossed = sum(f.astype(jnp.int32) for f in F)
-    first = jnp.where(F[0], 0, jnp.where(F[1], 1,
-            jnp.where(F[2], 2, jnp.where(F[3], 3, 0))))
-    last = jnp.where(F[3], 3, jnp.where(F[2], 2,
-           jnp.where(F[1], 1, jnp.where(F[0], 0, 3))))
-
-    def pick(P, idx):
-        out = P[0]
-        for k in (1, 2, 3):
-            out = jnp.where(idx == k, P[k], out)
-        return out
-
-    four = quad_ok & (n_crossed == 4)
-    den = v00 + v11 - v01 - v10
-    saddle = jnp.where(jnp.abs(den) > 0, (v00 * v11 - v01 * v10)
-                       / jnp.where(den == 0, 1.0, den), 0.0)
-    same00 = (saddle > 0) == (v00 > 0)
-
+    q = _quad_segments(v00, v01, v11, v10, qx, qy, s)
+    Px, Py = q["Px"], q["Py"]
     # layer 0: segment 1 (two-crossing join / saddle B-R|B-L)
-    s1_p0x = jnp.where(four, Px[0], pick(Px, first))
-    s1_p0y = jnp.where(four, Py[0], pick(Py, first))
-    s1_p1x = jnp.where(four, jnp.where(same00, Px[1], Px[3]),
-                       pick(Px, last))
-    s1_p1y = jnp.where(four, jnp.where(same00, Py[1], Py[3]),
-                       pick(Py, last))
+    s1_p0x, s1_p0y = q["s1_p0x"], q["s1_p0y"]
+    s1_p1x, s1_p1y = q["s1_p1x"], q["s1_p1y"]
     # layer 1: segment 2 (saddle T-L|T-R)
-    s2_p1x = jnp.where(same00, Px[3], Px[1])
-    s2_p1y = jnp.where(same00, Py[3], Py[1])
+    s2_p1x, s2_p1y = q["s2_p1x"], q["s2_p1y"]
     # layer 2: virtual h-edge; layer 3: virtual v-edge
     VIRT = 0.9 * s
-    fh = frac(v00, v01)
+    fh = _ms_frac(v00, v01)
     hx = (qx + 0.5 + fh) * s
     hy = jnp.broadcast_to((qy + 0.5) * s, hx.shape)
-    fv = frac(v00, v10)
+    fv = _ms_frac(v00, v10)
     vy = (qy + 0.5 + fv) * s
     vx = jnp.broadcast_to((qx + 0.5) * s, vy.shape)
 
     lay_b = lay[:, None]
-    z = jnp.zeros_like(Bx)
+    z = jnp.zeros_like(Px[0])
 
     def sel4(a0, a1, a2, a3):
         out = jnp.where(lay_b == 0, a0, a1)
@@ -835,34 +831,66 @@ def _raycast_core(grid: TsdGrid, segments: Optional[SegmentCache],
 
         def _defer_pass(carry):
             # deferred beams (window does not fit the block patch —
-            # depth discontinuities inside a block): replay FULL-WIDTH
-            # through the per-beam-patch kernel with `defer` as the
-            # active mask (a per-beam window ALWAYS fits its own
-            # 24x128 patch).  No compaction, no index scatter: the
-            # kernel skips fully-inactive 8-beam programs and loads
-            # patches only for active slots, so the launch costs
+            # depth discontinuities inside a block): replay through the
+            # per-beam-patch kernel (a per-beam window ALWAYS fits its
+            # own 24x128 patch).
+            #
+            # Single scan (small N): FULL-WIDTH with `defer` as the
+            # active mask — no compaction, no index scatter; the kernel
+            # skips fully-inactive 8-beam programs, so the launch costs
             # ~program dispatch for the ~96% inactive beams — cheaper
             # than the butterfly compaction + gather/scatter it
-            # replaces (r4 stage_tails 0.267 ms), and with no DEFER_CAP
-            # there is nothing to overflow.
+            # replaced (r4 stage_tails 0.267 ms), with nothing to
+            # overflow.
+            #
+            # Folded pose batch (large N): the full-width launch would
+            # walk N/8 mostly-skipped programs (~17k at 128 poses);
+            # compact the deferred beams instead — the butterfly +
+            # scatter amortize across the batch, and overflow past the
+            # capacity counts into n_dropped.
             from ohm_tsd_slam_tpu.ops.window_block_pallas import (
                 window_single_pallas,
             )
 
             hit, any_1, pos_ev, interp, normals_w, n_ok, n_drop = carry
+            if N <= 4096:
+                hit_d, any_d, pos_d, int_d, nrm_d, nok_d = \
+                    window_single_pallas(
+                        grid, _pd(t_w0), _pd(ray), _pd(idx_max, -1.0),
+                        _pd(defer), tr_rows, WINDOW)
+                sel = defer
+                selc = sel[:, None]
+                return (jnp.where(sel, hit_d[:N], hit),
+                        jnp.where(sel, any_d[:N], any_1),
+                        jnp.where(selc, pos_d[:N], pos_ev),
+                        jnp.where(sel, int_d[:N], interp),
+                        jnp.where(selc, nrm_d[:N], normals_w),
+                        jnp.where(sel, nok_d[:N], n_ok),
+                        n_drop)
+            cap = 8192
+            n_drop = n_drop + jnp.maximum(n_defer - cap, 0)
+            idx_d, dvalid = compact_mask(
+                jnp.pad(defer, (0, (-N) % 128)), cap)
+            idx_d = jnp.minimum(idx_d, N - 1)
             hit_d, any_d, pos_d, int_d, nrm_d, nok_d = \
                 window_single_pallas(
-                    grid, _pd(t_w0), _pd(ray), _pd(idx_max, -1.0),
-                    _pd(defer), tr_rows, WINDOW)
-            sel = defer
-            selc = sel[:, None]
-            return (jnp.where(sel, hit_d[:N], hit),
-                    jnp.where(sel, any_d[:N], any_1),
-                    jnp.where(selc, pos_d[:N], pos_ev),
-                    jnp.where(sel, int_d[:N], interp),
-                    jnp.where(selc, nrm_d[:N], normals_w),
-                    jnp.where(sel, nok_d[:N], n_ok),
-                    n_drop)
+                    grid, t_w0[idx_d], ray[idx_d], idx_max[idx_d],
+                    dvalid, _tr_at(idx_d, cap), WINDOW)
+            # fused scatter: one [N, 8] state row per deferred beam
+            S = jnp.stack([hit.astype(jnp.float32),
+                           any_1.astype(jnp.float32),
+                           pos_ev[:, 0], pos_ev[:, 1], interp,
+                           normals_w[:, 0], normals_w[:, 1],
+                           n_ok.astype(jnp.float32)], axis=-1)
+            rows = jnp.stack([hit_d.astype(jnp.float32),
+                              any_d.astype(jnp.float32),
+                              pos_d[:, 0], pos_d[:, 1], int_d,
+                              nrm_d[:, 0], nrm_d[:, 1],
+                              nok_d.astype(jnp.float32)], axis=-1)
+            idx_w = jnp.where(dvalid, idx_d, N)
+            S = S.at[idx_w].set(rows, mode="drop")
+            return (S[:, 0] > 0.0, S[:, 1] > 0.0, S[:, 2:4], S[:, 4],
+                    S[:, 5:7], S[:, 7] > 0.0, n_drop)
     else:
         hit, any_1, pos_ev, interp = _window_events(
             grid, tr, ray, idx_min, idx_max, k_1, has)

@@ -146,3 +146,28 @@ def test_pack_channels_rows_matches_pallas_kernel():
         px, cx = pack_channels_rows(mask, chans, size)
         assert int(ck) == int(cx)
         np.testing.assert_array_equal(np.asarray(pk), np.asarray(px))
+
+
+def test_pack_rows_pallas_matches_xla_pack():
+    """ops/pack_rows_pallas.py (v2 block kernel, interpret mode) must be
+    bit-identical to grid/compact.py::pack_channels_rows."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ohm_tsd_slam_tpu.grid.compact import pack_channels_rows
+    from ohm_tsd_slam_tpu.ops.pack_rows_pallas import (
+        pack_channels_rows_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    rows, chunk = 256, 128
+    n = rows * chunk
+    for density, size in ((0.02, 1024), (0.3, 512), (0.0, 256)):
+        mask = rng.random(n) < density
+        chans = tuple(jnp.asarray(rng.normal(size=n), jnp.float32)
+                      for _ in range(4))
+        ref, cnt_ref = pack_channels_rows(jnp.asarray(mask), chans, size)
+        got, cnt = pack_channels_rows_pallas(jnp.asarray(mask), chans,
+                                             size, interpret=True)
+        assert int(cnt) == int(cnt_ref) == int(mask.sum())
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

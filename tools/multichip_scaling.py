@@ -197,7 +197,7 @@ with mesh:
     stept_l = jax.jit(step_t).lower(grid_p, poses_p, data_p, mask_p,
                                     key=key)
     stept_c = stept_l.compile()
-    tres = stept_c(grid_p, poses_p, data_p, mask_p, key)
+    tres = stept_c(grid_p, poses_p, data_p, mask_p, key=key)
     jax.block_until_ready(tres)
 assert tres.grid.tsd.sharding.is_equivalent_to(gshard,
                                                tres.grid.tsd.ndim)
