@@ -728,7 +728,10 @@ def _raycast_core(grid: TsdGrid, segments: Optional[SegmentCache],
     # UNRESOLVED_CAP slots.  Beams needing more than ROUNDS slivers, or
     # overflowing the compaction, count into n_dropped (raycast_checked
     # then falls back to the exact march).
-    UNRESOLVED_CAP = 256 if N <= 2048 else (-(-N // 8) // 128 + 1) * 128
+    # folded pose batches scale the per-round replay capacity with the
+    # batch (~17 slots per 1081-beam scan — unresolved-after-defer beams
+    # are ~2/scan); overflow counts into n_dropped, never silent
+    UNRESOLVED_CAP = 256 if N <= 2048 else (-(-N // 64) // 128 + 1) * 128
     segments_given = segments is not None
     if segments is None:
         segments = extract_segments(grid, max_segments)

@@ -180,10 +180,17 @@ def _kernel(window: int, s: float, H: int, W: int,
         csel_l = (ios == c0).astype(jnp.float32)
         csel_r = (ios == (c0 + 1)).astype(jnp.float32)
         csel = jnp.concatenate([csel_l, csel_r], axis=1)
-        M = jax.lax.dot(val_ref[:, :], csel,
-                        preferred_element_type=jnp.float32)
-        Mv = M[0:PATCH_R, :]
-        Mn = M[PATCH_R:2 * PATCH_R, :]
+        # value half: f32 (3-pass MXU decomposition); NaN-mask half:
+        # bf16 — the operands are exactly-representable 0/1 and the
+        # contraction selects one column, so bf16 is exact and runs in
+        # ONE MXU pass (f32 accumulate) — 1/3 less matmul work
+        Mv = jax.lax.dot(val_ref[0:PATCH_R, :], csel,
+                         preferred_element_type=jnp.float32)
+        Mn = jax.lax.dot(
+            val_ref[PATCH_R:2 * PATCH_R, :].astype(jnp.bfloat16),
+            csel.astype(jnp.bfloat16),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
         ior = jax.lax.broadcasted_iota(jnp.int32, (PATCH_R, nlanes), 0)
 
         def pick(Mh, rsel):
@@ -544,10 +551,14 @@ def _kernel_single(window: int, s: float, H: int, W: int,
             csel_l = (ios == c0).astype(jnp.float32)
             csel_r = (ios == (c0 + 1)).astype(jnp.float32)
             csel = jnp.concatenate([csel_l, csel_r], axis=1)
-            M = jax.lax.dot(val_ref[:, :], csel,
-                            preferred_element_type=jnp.float32)
-            Mv = M[0:NPR1, :]
-            Mn = M[NPR1:2 * NPR1, :]
+            # see _kernel: bf16 is exact for the 0/1 mask half
+            Mv = jax.lax.dot(val_ref[0:NPR1, :], csel,
+                             preferred_element_type=jnp.float32)
+            Mn = jax.lax.dot(
+                val_ref[NPR1:2 * NPR1, :].astype(jnp.bfloat16),
+                csel.astype(jnp.bfloat16),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
             ior = jax.lax.broadcasted_iota(jnp.int32, (NPR1, nlanes), 0)
 
             def pick(Mh, rsel):

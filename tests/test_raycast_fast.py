@@ -148,3 +148,36 @@ def test_stale_segment_cache_detected_and_falls_back():
     seg_new = rf.extract_segments(grid_new)
     fresh = rf.raycast_fast(grid_new, geom, qpose, segments=seg_new)
     assert int(fresh.n_dropped) == 0
+
+
+def test_raycast_fast_batch_matches_singles():
+    """raycast_fast_batch (pose axis folded into the flat beam axis,
+    joint tail conds) must reproduce per-pose raycast_fast results."""
+    import ohm_tsd_slam_tpu.grid.raycast_fast as rf
+
+    grid, geom = _grid_and_geom([(5.12, 5.12, 0.2), (5.3, 5.2, 0.5)])
+    poses = jnp.stack([
+        jnp.asarray(np.array(se2.make(5.0 + 0.02 * i, 5.0 - 0.01 * i,
+                                      0.9 + 0.05 * i, dtype=jnp.float64)))
+        for i in range(4)])
+    batch = rf.raycast_fast_batch(grid, geom, poses)
+    assert int(batch.n_dropped) == 0
+    for i in range(4):
+        single = rf.raycast_fast(grid, geom, poses[i])
+        np.testing.assert_array_equal(np.asarray(batch.mask[i]),
+                                      np.asarray(single.mask))
+        m = np.asarray(single.mask)
+        np.testing.assert_allclose(np.asarray(batch.coords[i])[m],
+                                   np.asarray(single.coords)[m],
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(batch.normals[i])[m],
+                                   np.asarray(single.normals)[m],
+                                   atol=1e-9)
+
+    # cached segments path
+    seg = rf.extract_segments(grid)
+    batch2 = rf.raycast_fast_batch(grid, geom, poses, segments=seg)
+    np.testing.assert_array_equal(np.asarray(batch2.mask),
+                                  np.asarray(batch.mask))
+    np.testing.assert_allclose(np.asarray(batch2.coords),
+                               np.asarray(batch.coords), atol=1e-12)
