@@ -229,9 +229,6 @@ int main(int argc, char** argv)
   {
     tsdMatcher = new TSD_PDFMatching(*grid, ranTrials, ranEps,
                                      ranSizeCtl, zrandTsd);
-    /* per-scan improvement-chain traces (score3D.dat rows: trial idx i
-     * 10*prob) let the parity test diff the scoring itself */
-    tsdMatcher->activateTrace();
   }
 
   RayCastPolar2D rayCaster;
@@ -439,11 +436,7 @@ int main(int argc, char** argv)
           Ts, &M, maskM, NULL, &S, maskS,
           ranPhiMaxDeg * M_PI / 180.0, trnsMax,
           sensor->getAngularResolution());
-      {
-        char tdir[600];
-        snprintf(tdir, 600, "%s_trace_scan%02d", argv[2], k);
-        tsdMatcher->RandomMatching::serializeTrace(tdir);
-      }
+
       T44(0, 0) = Tpre(0, 0);
       T44(0, 1) = Tpre(0, 1);
       T44(0, 3) = Tpre(0, 2);
