@@ -359,3 +359,42 @@ def test_sharded_step_matcher_modes_match_single_device(mode_name):
     np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
     ok = ~np.isnan(exp)
     np.testing.assert_allclose(got[ok], exp[ok], rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_gn_matcher_matches_single_device_direct():
+    """parallel/shard_matchers.py::sharded_match_gauss_newton vs the
+    single-device matcher at matcher granularity (the step-level GN test
+    above covers integration; this pins the psum'd normal equations)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import dataclasses
+
+    from ohm_tsd_slam_tpu.parallel.shard_matchers import (
+        sharded_match_gauss_newton,
+    )
+    from ohm_tsd_slam_tpu.registration.gauss_newton import (
+        GnParams,
+        match_gauss_newton,
+    )
+    from ohm_tsd_slam_tpu.sensor.polar2d import data_to_cartesian
+
+    grid = _base_grid()
+    poses, data, mask = _robot_batch(1)
+    pose = poses[0] @ se2.make(0.02, -0.015, 0.01, dtype=jnp.float64)
+    scene, smask = data_to_cartesian(GEOM, data[0], mask[0])
+    params = GnParams(iterations=12)
+
+    ref = match_gauss_newton(grid, pose, scene, smask, params)
+
+    devices = np.array(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devices, ("sp", "dp"))
+    gshard = NamedSharding(mesh, P("sp", None))
+    grid_sh = dataclasses.replace(
+        grid, tsd=jax.device_put(grid.tsd, gshard))
+    got = jax.jit(lambda g, p, s, m: sharded_match_gauss_newton(
+        mesh, g, p, s, m, params))(grid_sh, pose, scene, smask)
+
+    np.testing.assert_allclose(np.asarray(got.T), np.asarray(ref.T),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(got.rms), float(ref.rms),
+                               rtol=1e-9)
+    assert int(got.matches) == int(ref.matches)

@@ -197,24 +197,40 @@ def test_full_loop_trajectory_parity_tsd():
     N = int(size)
     key0 = jax.random.PRNGKey(0)
 
+    # jit once (static matcher/localize params): the 24-scan loop would
+    # otherwise retrace the matcher + ICP every scan (~7 min of compile)
+    from ohm_tsd_slam_tpu.grid.raycast_fast import (
+        raycast_fast as _rf_fast,
+    )
+
+    raycast_j = jax.jit(lambda g, p: _rf_fast(g, geom, p))
+    match_j = jax.jit(
+        lambda k, g, p, mc, mm, sc, sm, inj: match_tsd(
+            k, g, p, mc, mm, sc, sm, rparams, inject=inj))
+    loc_j = jax.jit(
+        lambda g, p, lp, d, m, tp: localize_step(
+            g, p, lp, d, m, lparams, T_prereg=tp))
+    push_j = jax.jit(lambda g, p, d, m: push(g, geom, p, d, m))
+    pca_j = jax.jit(lambda pts, m: pca_normals(pts, m, rr))
+
     got_poses, got_err, got_sig = [], [], []
     for k in range(len(scans)):
         ranges = np.where(scans[k] >= 1e29, np.inf, scans[k])
         data, mask = standard_mask(geom, jnp.asarray(ranges))
         if k == 0:
-            grid = push(grid, geom, pose, data, mask)
+            grid = push_j(grid, pose, data, mask)
             got_poses.append(np.asarray(pose))
             got_err.append(0)
             got_sig.append(1)
             continue
 
-        model = raycast_fast(grid, geom, pose)
+        model = raycast_j(grid, pose)
         scene, smask = data_to_cartesian(geom, data, mask)
 
         # replay the harness's det_reset(seed + k) rand stream
-        _, mask_mp = pca_normals(model.coords, model.mask, rr)
+        _, mask_mp = pca_j(model.coords, model.mask)
         sub, dr = replay_subsample(int(r_seed) + k, np.asarray(smask))
-        _, mask_sp_full = pca_normals(scene, smask, rr)
+        _, mask_sp_full = pca_j(scene, smask)
         mask_sp = np.asarray(mask_sp_full) & sub
         mask_mp_np = np.asarray(mask_mp)
         idx_s_valid = [i for i in range(rr, N - rr) if mask_sp[i]]
@@ -235,13 +251,12 @@ def test_full_loop_trajectory_parity_tsd():
             trial_idx=jnp.asarray(trial_idx),
             trial_valid=jnp.asarray(np.arange(T) < len(tidx)))
 
-        T_pre = match_tsd(key0, grid, pose, model.coords, model.mask,
-                          scene, smask, rparams, inject=inject)
-        res = localize_step(grid, pose, last_pose, data, mask, lparams,
-                            T_prereg=T_pre)
+        T_pre = match_j(key0, grid, pose, model.coords, model.mask,
+                        scene, smask, inject)
+        res = loc_j(grid, pose, last_pose, data, mask, T_pre)
         pose = res.pose
         if bool(res.significant):
-            grid = push(grid, geom, pose, data, mask)
+            grid = push_j(grid, pose, data, mask)
             last_pose = pose
         got_poses.append(np.asarray(pose))
         got_err.append(int(bool(res.reg_error)))
