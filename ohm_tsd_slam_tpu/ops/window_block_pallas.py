@@ -56,9 +56,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 KG = 16           # beams per block (out rows must align to 8 sublanes)
-PATCH_R = 96      # patch rows: worst-case block row span (~13 per beam
-                  # + ~4.6 cells/beam lateral spread at 25 m range for
-                  # KG consecutive beams + 7 rows of 8-alignment)
+PATCH_R = 64      # patch rows.  Covers a block's row span (~13 rows per
+                  # beam window + KG-beam lateral spread + 8-alignment)
+                  # for hits out to ~14 m; near-vertical sweeps hitting
+                  # beyond that can exceed it and DEFER to the per-beam
+                  # patch kernel (always fits — correct, just slower).
+                  # 96 covered the full 25 m envelope but paid ~33% more
+                  # row-reduction + DMA on every block of every scan;
+                  # indoor Hokuyo workloads hit well inside 14 m.
 PATCH_C = 128     # rotated patch columns (block col span <= ~90)
 LOAD_C = 2 * PATCH_C   # pre-rotation load width (128-aligned base)
 NORM_P = 4        # normal sample positions (+x, -x, +y, -y)
