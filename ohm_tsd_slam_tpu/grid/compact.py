@@ -36,6 +36,20 @@ import jax.numpy as jnp
 CHUNK = 128
 _BITS = 7  # log2(CHUNK)
 
+# compact_mask_values slot-pick strategy: None = auto (one-hot matmul
+# pick on TPU when K*C stays small); tests force True/False
+FORCE_ONEHOT_PICK = None
+
+
+def _use_onehot_pick(k: int, c_chunks: int) -> bool:
+    if FORCE_ONEHOT_PICK is not None:
+        return bool(FORCE_ONEHOT_PICK)
+    try:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return on_tpu and k * c_chunks <= 2_000_000
+
 
 def _shift_left(x: jnp.ndarray, step: int) -> jnp.ndarray:
     """Shift lanes left by `step` along axis 1 (wraparound garbage kept;
@@ -121,9 +135,32 @@ def compact_mask_values(mask: jnp.ndarray, values, size: int):
     cols = chans[0]
 
     counts = jnp.sum(m2, axis=1, dtype=jnp.int32)         # [C]
+    c_chunks = m2.shape[0]
     c, r, valid = _assemble(counts, size)
-    idx = c * CHUNK + cols[c, r].astype(jnp.int32)
-    out_vals = [ch[c, r] for ch in chans[1:]]
+
+    if _use_onehot_pick(size, c_chunks):
+        # TPU: the [K]-slot `M[c, r]` gathers lower to a serial path
+        # (~30 ns/slot — 0.12 ms at the extraction row-prefilter's
+        # 4096 slots); pick through an exact one-hot contraction
+        # instead: rows = onehot(c) @ M selects chunk rows on the MXU
+        # (unit coefficients, HIGHEST precision — bit-exact), then a
+        # masked lane reduction selects r.  Gated by K*C so the [K, C]
+        # one-hot never outgrows the serial gather it replaces.
+        A = (jnp.arange(c_chunks, dtype=jnp.int32)[None, :]
+             == c[:, None])
+        oh_r = (jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+                == r[:, None])
+
+        def pick(M):
+            rows = jax.lax.dot(A.astype(M.dtype), M,
+                               precision=jax.lax.Precision.HIGHEST)
+            return jnp.sum(jnp.where(oh_r, rows, 0), axis=1)
+
+        idx = c * CHUNK + pick(cols.astype(jnp.float32)).astype(jnp.int32)
+        out_vals = [pick(ch) for ch in chans[1:]]
+    else:
+        idx = c * CHUNK + cols[c, r].astype(jnp.int32)
+        out_vals = [ch[c, r] for ch in chans[1:]]
     if multi:
         vals = tuple(out_vals)
     else:

@@ -171,3 +171,28 @@ def test_pack_rows_pallas_matches_xla_pack():
                                              size, interpret=True)
         assert int(cnt) == int(cnt_ref) == int(mask.sum())
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_onehot_pick_matches_gather_path():
+    """compact_mask_values' one-hot slot pick (the TPU path) must be
+    bit-identical to the serial-gather path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import ohm_tsd_slam_tpu.grid.compact as gc
+
+    rng = np.random.default_rng(11)
+    n = 64 * 128
+    mask = jnp.asarray(rng.random(n) < 0.03)
+    vals = tuple(jnp.asarray(rng.normal(size=n)) for _ in range(3))
+    try:
+        gc.FORCE_ONEHOT_PICK = False
+        idx0, v0, ok0 = gc.compact_mask_values(mask, vals, 512)
+        gc.FORCE_ONEHOT_PICK = True
+        idx1, v1, ok1 = gc.compact_mask_values(mask, vals, 512)
+    finally:
+        gc.FORCE_ONEHOT_PICK = None
+    np.testing.assert_array_equal(np.asarray(idx0), np.asarray(idx1))
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    for a, b in zip(v0, v1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
