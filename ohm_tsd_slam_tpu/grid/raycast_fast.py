@@ -1038,10 +1038,38 @@ def _raycast_core(grid: TsdGrid, segments: Optional[SegmentCache],
         # beams and ran the whole rounds tail every scan (r4 weak #1)
         t_after2 = jnp.where(resolved_now, jnp.inf,
                              jnp.maximum(lo, k_1 + cover))
-        lev_rest = segment_min_pallas(
-            segpack, pad_beams(ray, lo, hi, t_after2, tr_pack),
-            seg_count, levels=ROUNDS - 1,
-            cover=float(WINDOW - BACKOFF - 2.0))
+        if N <= 2048:
+            lev_rest = segment_min_pallas(
+                segpack, pad_beams(ray, lo, hi, t_after2, tr_pack),
+                seg_count, levels=ROUNDS - 1,
+                cover=float(WINDOW - BACKOFF - 2.0))
+        else:
+            # folded pose batch: the full-width sweep's block skip is
+            # all-or-nothing per 128-beam block, and each pose's ~2
+            # unresolved beams keep ~a quarter of the blocks alive —
+            # 6.2 ms of the 128-pose saturation workload went to this
+            # launch.  Sweep only the COMPACTED unresolved beams and
+            # scatter the levels back (+inf elsewhere); beams beyond
+            # the capacity count into n_dropped.
+            n_unres = jnp.sum(~resolved_now, dtype=jnp.int32)
+            n_dropped = n_dropped + jnp.maximum(
+                n_unres - UNRESOLVED_CAP, 0)
+            idx_u2, uv2 = compact_mask(
+                jnp.pad(~resolved_now, (0, (-N) % 128)), UNRESOLVED_CAP)
+            idx_u2 = jnp.minimum(idx_u2, N - 1)
+            tr_sub = (tr_pack if tr.ndim == 1 else tr_pack[idx_u2])
+            lev_c = segment_min_pallas(
+                segpack,
+                pad_beams(ray[idx_u2], lo[idx_u2], hi[idx_u2],
+                          jnp.where(uv2, t_after2[idx_u2], jnp.inf),
+                          tr_sub),
+                seg_count, levels=ROUNDS - 1,
+                cover=float(WINDOW - BACKOFF - 2.0))
+            lev_rest = jnp.full((N + 1, ROUNDS - 1), jnp.inf,
+                                ray.dtype)
+            lev_rest = lev_rest.at[
+                jnp.where(uv2, idx_u2, N)].set(
+                    lev_c[:UNRESOLVED_CAP], mode="drop")[:N]
         need_any = jnp.any(jnp.isfinite(lev_rest[:N, 0])
                            & ~resolved_now)
         carry = jax.lax.cond(need_any,
